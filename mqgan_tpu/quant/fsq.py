@@ -1,0 +1,181 @@
+"""Finite Scalar Quantization (FSQ).
+
+Behavioral spec: reference quantizer.py:50-272 — per-dimension tanh bounding,
+round with straight-through gradients, normalization by half-width, implicit
+codebook via mixed-radix index packing (basis = cumprod([1, *levels[:-1]])),
+optional symmetry-preserving bound, optional training-time noise dropout
+(per-sample skip-quantize or uniform offset), quantization forced to fp32
+under mixed precision (quantizer.py:233-253).
+
+TPU-first design: everything is a pure function of (z, rng); no implicit
+module state. The rounding core is 4-wide elementwise math — XLA fuses it
+into the surrounding projections; ops/fsq_kernels.py provides a Pallas
+fused bound+round+pack kernel for the encode hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def round_ste(z: jax.Array) -> jax.Array:
+    """Round with straight-through gradients (reference quantizer.py:39-42)."""
+    return z + jax.lax.stop_gradient(jnp.round(z) - z)
+
+
+def floor_ste(z: jax.Array) -> jax.Array:
+    return z + jax.lax.stop_gradient(jnp.floor(z) - z)
+
+
+@dataclasses.dataclass(frozen=True)
+class FSQSpec:
+    """Static description of an FSQ quantizer."""
+
+    levels: Tuple[int, ...]
+    preserve_symmetry: bool = False
+    noise_dropout: float = 0.0
+
+    @property
+    def codebook_dim(self) -> int:
+        return len(self.levels)
+
+    @property
+    def codebook_size(self) -> int:
+        return int(np.prod(self.levels))
+
+    @property
+    def basis(self) -> np.ndarray:
+        return np.cumprod([1] + list(self.levels[:-1])).astype(np.int32)
+
+    @property
+    def half_width(self) -> np.ndarray:
+        return (np.asarray(self.levels, np.int32) // 2).astype(np.float32)
+
+
+def bound(z: jax.Array, levels: Sequence[int], eps: float = 1e-3) -> jax.Array:
+    """Per-dim bounded squash (reference quantizer.py:109-114)."""
+    lv = jnp.asarray(levels, jnp.float32)
+    half_l = (lv - 1.0) * (1.0 + eps) / 2.0
+    offset = jnp.where(lv % 2 == 0, 0.5, 0.0)
+    shift = jnp.arctanh(offset / half_l)
+    return jnp.tanh(z + shift) * half_l - offset
+
+
+def symmetry_preserving_bound(z: jax.Array, levels: Sequence[int]) -> jax.Array:
+    """QL(x) = 2/(L-1) * floor_ste[(L-1)(tanh(x)+1)/2 + 0.5] - 1
+    (reference quantizer.py:118-126)."""
+    lv = jnp.asarray(levels, jnp.float32)
+    lm1 = lv - 1.0
+    bracket = floor_ste(lm1 * (jnp.tanh(z) + 1.0) / 2.0 + 0.5)
+    return (2.0 / lm1) * bracket - 1.0
+
+
+def quantize(
+    z: jax.Array,
+    spec: FSQSpec,
+    *,
+    training: bool = False,
+    rng: jax.Array | None = None,
+) -> jax.Array:
+    """z (..., d) fp32 -> quantized zhat in [-1, 1]^d, same shape, with STE
+    gradients (reference quantizer.py:128-162).
+
+    Training-time noise dropout (rate spec.noise_dropout, per *sample* along
+    the leading axis): with prob p the sample skips quantization entirely;
+    independently with prob p it gets `unquantized + uniform(-.5,.5)/half`.
+    """
+    half = jnp.asarray(spec.half_width)
+    if spec.preserve_symmetry:
+        q = round_ste(symmetry_preserving_bound(z, spec.levels)) / half
+    else:
+        q = round_ste(bound(z, spec.levels)) / half
+
+    if not training or spec.noise_dropout == 0.0:
+        return q
+    assert rng is not None, "training-time FSQ noise needs an rng"
+
+    batch = z.shape[0]
+    k1, k2, k3 = jax.random.split(rng, 3)
+    bshape = (batch,) + (1,) * (z.ndim - 1)
+    skip = jax.random.bernoulli(k1, spec.noise_dropout, (batch,)).reshape(bshape)
+    q = jnp.where(skip, z, q)
+    offs = jax.random.bernoulli(k2, spec.noise_dropout, (batch,)).reshape(bshape)
+    offset = (jax.random.uniform(k3, z.shape, z.dtype) - 0.5) / half
+    return jnp.where(offs, z + offset, q)
+
+
+def codes_to_indices(zhat: jax.Array, spec: FSQSpec) -> jax.Array:
+    """Normalized codes (..., d) -> packed int32 indices (...,)
+    (reference quantizer.py:177-181)."""
+    half = jnp.asarray(spec.half_width)
+    shifted = zhat * half + half  # in [0, L-1]
+    return jnp.sum(shifted * jnp.asarray(spec.basis, jnp.float32), axis=-1).astype(
+        jnp.int32
+    )
+
+
+def indices_to_level_indices(indices: jax.Array, spec: FSQSpec) -> jax.Array:
+    """(...,) int -> (..., d) per-level indices (reference quantizer.py:183-187)."""
+    basis = jnp.asarray(spec.basis, indices.dtype)
+    lv = jnp.asarray(spec.levels, indices.dtype)
+    return (indices[..., None] // basis) % lv
+
+
+def indices_to_codes(indices: jax.Array, spec: FSQSpec) -> jax.Array:
+    """(...,) int -> (..., d) normalized codes in [-1, 1]
+    (reference quantizer.py:189-205, _indices_to_codes + scale_shift_inverse)."""
+    half = jnp.asarray(spec.half_width)
+    level_idx = indices_to_level_indices(indices, spec).astype(jnp.float32)
+    return (level_idx - half) / half
+
+
+def implicit_codebook(spec: FSQSpec) -> np.ndarray:
+    """(codebook_size, d) fp32 table — reference quantizer.py:102-104."""
+    idx = np.arange(spec.codebook_size)
+    basis = spec.basis
+    lv = np.asarray(spec.levels)
+    level_idx = (idx[:, None] // basis[None, :]) % lv[None, :]
+    half = spec.half_width
+    return ((level_idx - half) / half).astype(np.float32)
+
+
+class FSQ(nn.Module):
+    """Module wrapper: projectionless FSQ (dim == len(levels), the reference
+    PreEncoder usage at preencoder.py:334-336 — q_in/q_out projections live
+    in the PreEncoder, matching has_projections=False here).
+
+    Forward returns (codes, indices) like reference FSQ.forward
+    (quantizer.py:207-272). Quantization math runs in fp32 regardless of the
+    compute dtype (force_quantization_f32), and codes are cast back.
+    """
+
+    levels: Tuple[int, ...]
+    preserve_symmetry: bool = False
+    noise_dropout: float = 0.0
+
+    @property
+    def spec(self) -> FSQSpec:
+        return FSQSpec(
+            levels=tuple(self.levels),
+            preserve_symmetry=self.preserve_symmetry,
+            noise_dropout=self.noise_dropout,
+        )
+
+    @nn.compact
+    def __call__(self, z: jax.Array, training: bool = False):
+        spec = self.spec
+        orig_dtype = z.dtype
+        z32 = z.astype(jnp.float32)
+        rng = None
+        if training and spec.noise_dropout > 0.0:
+            rng = self.make_rng("fsq_noise")
+        codes = quantize(z32, spec, training=training, rng=rng)
+        indices = codes_to_indices(jax.lax.stop_gradient(codes), spec)
+        return codes.astype(orig_dtype), indices
