@@ -1,0 +1,71 @@
+"""Device mesh + sharding rules.
+
+The reference has no distributed training at all (SURVEY §2.2); here data
+parallelism is first-class and tensor parallelism is available as a second
+mesh axis. We use jit + GSPMD sharding annotations (not shard_map): batches
+are sharded over the 'data' axis, params are replicated over 'data' and
+optionally sharded over 'model'; XLA inserts psum/all-gather collectives
+over ICI automatically — including the cross-replica reductions that keep
+the LeCam EMA state synced (losses/gan.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (
+        f"mesh {n_data}x{n_model} needs more than {len(devices)} devices"
+    )
+    dev_array = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim sharded over data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _param_spec(path: tuple, leaf) -> P:
+    """Tensor-parallel rule: shard big kernels on their output-feature (last)
+    axis over MODEL_AXIS; replicate small params. With n_model == 1 this is
+    inert and exactly data-parallel."""
+    ndim = np.ndim(leaf)
+    if ndim >= 2 and leaf.shape[-1] % 2 == 0 and leaf.shape[-1] >= 64:
+        return P(*([None] * (ndim - 1) + [MODEL_AXIS]))
+    return P()
+
+
+def params_shardings(mesh: Mesh, params: Any):
+    """Pytree of NamedShardings for a param tree (TP on large kernels)."""
+    if mesh.shape[MODEL_AXIS] == 1:
+        return jax.tree.map(lambda _: replicated(mesh), params)
+
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    specs = {}
+
+    def to_sharding(path, leaf):
+        return NamedSharding(mesh, _param_spec(path, leaf))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def shard_batch(mesh: Mesh, batch):
+    """device_put a host batch with the data-parallel sharding."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,184 @@
+"""End-to-end train-step tests on a tiny config: loss finiteness, gradient
+flow contracts, LeCam evolution, phase variants, and the generator-forward
+vjp factorization."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mqgan_tpu.core.config import (
+    DataConfig,
+    GeneratorConfig,
+    LossWeights,
+    ModelConfig,
+    MultiBinDiscriminatorConfig,
+    PatchDiscriminatorConfig,
+    TrainConfig,
+    TrainingConfig,
+)
+from mqgan_tpu.train.state import create_train_state
+from mqgan_tpu.train.step import build_models, make_eval_step, make_train_step
+
+MEL = 16
+T = 32
+B = 4
+
+
+def tiny_config(use_fm=False):
+    # patch D needs >= 4 hidden layers for feature-matching taps to exist
+    # (ret_features_map skips layers 0, 1 and the last,
+    # reference discriminators.py:104-108)
+    patch_hidden = (4, 4, 8) if use_fm else (4, 8)
+    patch_ks = (3,) * (len(patch_hidden) + 1)
+    patch_strides = tuple([(1, 2)] + [(2, 2)] * (len(patch_hidden) - 1) + [(1, 1)])
+    mb_hidden = (4, 4, 4) if use_fm else (4, 4)
+    return TrainConfig(
+        data=DataConfig(crop_len=(T,), batch_size=B),
+        model=ModelConfig(
+            mel_channels=MEL,
+            generator=GeneratorConfig(
+                channels=(8, 12), kernel_sizes=(3,), dropout=0.1,
+                fsq_levels=(8, 5, 5, 5), refiner_base_channels=4,
+                refiner_depth=2,
+            ),
+            discriminator_patch=PatchDiscriminatorConfig(
+                hidden_channels=patch_hidden, kernel_sizes=patch_ks,
+                strides=patch_strides,
+            ),
+            discriminator_multibin=MultiBinDiscriminatorConfig(
+                hidden_channels=mb_hidden, kernel_sizes=(3,) * (len(mb_hidden) + 1),
+                n_bins=2, n_no_strides=1,
+            ),
+        ),
+        training=TrainingConfig(
+            warmup_steps=10, use_fm_loss=use_fm,
+            discriminator_train_start_epoch=2,
+            loss_weights=LossWeights(),
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    gen, patch, mb = build_models(cfg)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((B, T, MEL)).astype(np.float32))
+    lengths = jnp.asarray(np.array([T, T - 5, T, T - 1], np.int32))
+
+    k = jax.random.key(0)
+    gv = gen.init(k, mel, lengths)
+    pv = patch.init(k, mel, lengths)
+    mv = mb.init(k, mel, lengths)
+    state, _, _ = create_train_state(
+        gen_variables=gv, patch_variables=pv, multibin_variables=mv,
+        training_cfg=cfg.training, rng=jax.random.key(1),
+    )
+    return cfg, state, mel, lengths
+
+
+def _tree_equal(a, b):
+    return all(
+        np.allclose(np.asarray(x), np.asarray(y))
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+def test_warmup_step(setup):
+    cfg, state, mel, lengths = setup
+    step = make_train_step(cfg, train_d=False, donate=False)
+    new_state, metrics = step(state, mel, lengths)
+
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert float(metrics["loss_d"]) == 0.0
+    assert float(metrics["loss_gan"]) == 0.0
+    assert float(metrics["loss_recon_pre"]) > 0
+    assert int(new_state.step) == 1
+    assert 0 < float(metrics["codebook_usage"]) <= 1.0
+
+    # G params moved, D params untouched, lecam untouched
+    assert not _tree_equal(new_state.gen_params, state.gen_params)
+    assert _tree_equal(new_state.disc_params, state.disc_params)
+    assert not bool(new_state.lecam.initialized)
+
+    # warmup lr: step 0 -> lr * 1/10
+    np.testing.assert_allclose(
+        float(metrics["learning_rate"]), cfg.training.lr * 0.1, rtol=1e-6
+    )
+
+
+def test_gan_step(setup):
+    cfg, state, mel, lengths = setup
+    step = make_train_step(cfg, train_d=True, donate=False)
+    new_state, metrics = step(state, mel, lengths)
+
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert float(metrics["loss_d"]) > 0.0
+    assert float(metrics["loss_gan"]) > 0.0
+    assert not _tree_equal(new_state.disc_params, state.disc_params)
+    assert not _tree_equal(new_state.gen_params, state.gen_params)
+    assert bool(new_state.lecam.initialized)
+    # spectral-norm power iteration advanced
+    assert not _tree_equal(new_state.disc_stats, state.disc_stats)
+
+    # multiple steps keep losses finite and lecam evolving
+    s2, m2 = step(new_state, mel, lengths)
+    assert np.isfinite(float(m2["loss_d"]))
+    assert float(s2.lecam.ema_real) != float(new_state.lecam.ema_real)
+
+
+def test_fm_loss_step(setup):
+    _, _, mel, lengths = setup
+    cfg = tiny_config(use_fm=True)
+    gen, patch, mb = build_models(cfg)
+    k = jax.random.key(0)
+    state, _, _ = create_train_state(
+        gen_variables=gen.init(k, mel, lengths),
+        patch_variables=patch.init(k, mel, lengths),
+        multibin_variables=mb.init(k, mel, lengths),
+        training_cfg=cfg.training, rng=jax.random.key(1),
+    )
+    step = make_train_step(cfg, train_d=True, donate=False)
+    _, metrics = step(state, mel, lengths)
+    assert float(metrics["loss_fm"]) > 0.0
+
+
+def test_gradient_contracts(setup):
+    """hidden_proj is detached from every loss path (reference
+    preencoder.py:413-414 comment/contract) => receives zero gradient and
+    never moves; the refiner itself DOES move (recon_post loss)."""
+    cfg, state, mel, lengths = setup
+    step = make_train_step(cfg, train_d=True, donate=False)
+    new_state, _ = step(state, mel, lengths)
+
+    assert _tree_equal(
+        new_state.gen_params["hidden_proj"], state.gen_params["hidden_proj"]
+    )
+    assert not _tree_equal(
+        new_state.gen_params["refiner"], state.gen_params["refiner"]
+    )
+    # encoder/decoder move through recon losses
+    assert not _tree_equal(
+        new_state.gen_params["encoder_blocks_0"], state.gen_params["encoder_blocks_0"]
+    )
+    assert not _tree_equal(
+        new_state.gen_params["out_proj"], state.gen_params["out_proj"]
+    )
+
+
+def test_eval_step(setup):
+    cfg, state, mel, lengths = setup
+    eval_step = make_eval_step(cfg)
+    pre, post, idx, metrics = eval_step(state.gen_params, mel, lengths)
+    assert pre.shape == (B, T, MEL) and post.shape == (B, T, MEL)
+    assert idx.shape == (B, T)
+    assert np.isfinite(float(metrics["eval_recon_pre_mse"]))
+
+    # determinism: eval twice gives identical results
+    pre2, post2, idx2, _ = eval_step(state.gen_params, mel, lengths)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx2))
+    np.testing.assert_allclose(np.asarray(post), np.asarray(post2), atol=0)
