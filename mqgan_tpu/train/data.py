@@ -1,0 +1,194 @@
+"""Host-side input pipeline for .npy mel datasets.
+
+Behavioral spec (reference train.py:87-197): recursive .npy discovery,
+seeded train/eval split, per-batch random crop length chosen from the
+configured list, random crop / right-zero-pad to that length, failed loads
+dropped.
+
+TPU-first changes:
+* every crop length is a static XLA bucket (core.buckets);
+* loading is threaded (np.load releases the GIL for IO) with an optional
+  native C++ reader (utils.npy / native/io_loader.cpp) for the mmap parse;
+* batches are staged to device asynchronously with double buffering so the
+  accelerator never waits on the host (replaces torch DataLoader workers +
+  pin_memory).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import random
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Iterator, List, Sequence
+
+import numpy as np
+
+from mqgan_tpu.utils.npy import load_npy
+
+
+def find_npy_files(data_dir: str) -> List[str]:
+    """Recursive walk (reference train.py:94-98)."""
+    if not os.path.isdir(data_dir):
+        raise FileNotFoundError(f"Directory not found: {data_dir}")
+    out = []
+    for root, _, files in os.walk(data_dir):
+        for fn in files:
+            if fn.endswith(".npy"):
+                out.append(os.path.join(root, fn))
+    return sorted(out)
+
+
+def split_train_eval(files: Sequence[str], validation_split: float, seed: int):
+    """Seeded random split (reference train.py:250-257)."""
+    files = list(files)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(files))
+    eval_size = int(validation_split * len(files))
+    eval_idx = set(perm[:eval_size].tolist())
+    train = [f for i, f in enumerate(files) if i not in eval_idx]
+    evals = [files[i] for i in perm[:eval_size]]
+    return train, evals
+
+
+@dataclass
+class Batch:
+    mel: np.ndarray  # (B, T_bucket, C) float32
+    lengths: np.ndarray  # (B,) int32
+    filenames: List[str]
+
+
+class MelDataset:
+    """Loads (T, C) float32 mels; returns None on broken files
+    (reference train.py:108-136)."""
+
+    def __init__(self, files: Sequence[str], use_native: bool = True):
+        self.files = list(files)
+        self.use_native = use_native
+
+    def __len__(self):
+        return len(self.files)
+
+    def load(self, idx: int):
+        path = self.files[idx]
+        try:
+            mel = load_npy(path, use_native=self.use_native)
+        except Exception as e:  # noqa: BLE001
+            print(f"[Load error] {path}: {e}")
+            return None
+        if mel.ndim != 2:
+            print(f"[Shape error] {path}: shape={mel.shape}")
+            return None
+        return np.asarray(mel, np.float32)
+
+
+def collate(
+    items: List[tuple],  # [(mel (T,C), name)]
+    crop_lens: Sequence[int],
+    rng: random.Random,
+) -> Batch | None:
+    """Pick ONE crop length per batch at random, random-crop / right-zero-pad
+    every item to it (reference pad_collate_fn, train.py:140-197)."""
+    items = [it for it in items if it is not None]
+    if not items:
+        return None
+    tgt = int(rng.choice(list(crop_lens)))
+    c = items[0][0].shape[1]
+    mel = np.zeros((len(items), tgt, c), np.float32)
+    lengths = np.zeros((len(items),), np.int32)
+    names = []
+    for i, (m, name) in enumerate(items):
+        full = m.shape[0]
+        if full > tgt:
+            start = rng.randint(0, full - tgt)
+            mel[i] = m[start : start + tgt]
+            lengths[i] = tgt
+        else:
+            mel[i, :full] = m
+            lengths[i] = full
+        names.append(name)
+    return Batch(mel=mel, lengths=lengths, filenames=names)
+
+
+class MelLoader:
+    """Shuffling, threaded, bucketed batch iterator."""
+
+    def __init__(
+        self,
+        dataset: MelDataset,
+        batch_size: int,
+        crop_lens: Sequence[int],
+        seed: int = 42,
+        num_threads: int = 8,
+        drop_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.crop_lens = tuple(crop_lens)
+        self.seed = seed
+        self.num_threads = num_threads
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int) -> Iterator[Batch]:
+        rng = random.Random(self.seed + epoch)
+        order = list(range(len(self.dataset)))
+        rng.shuffle(order)
+        pool = ThreadPoolExecutor(max_workers=self.num_threads)
+        try:
+            for start in range(0, len(order), self.batch_size):
+                idxs = order[start : start + self.batch_size]
+                if self.drop_last and len(idxs) < self.batch_size:
+                    break
+                mels = list(pool.map(self.dataset.load, idxs))
+                items = [
+                    (m, os.path.basename(self.dataset.files[i]))
+                    for m, i in zip(mels, idxs)
+                    if m is not None
+                ]
+                batch = collate(items, self.crop_lens, rng)
+                if batch is None:
+                    continue
+                if len(batch.filenames) < self.batch_size:
+                    # keep static shapes: repeat-pad short batches up to B
+                    deficit = self.batch_size - len(batch.filenames)
+                    reps = [i % len(batch.filenames) for i in range(deficit)]
+                    batch = Batch(
+                        mel=np.concatenate([batch.mel, batch.mel[reps]], 0),
+                        lengths=np.concatenate([batch.lengths, batch.lengths[reps]], 0),
+                        filenames=batch.filenames + [batch.filenames[r] for r in reps],
+                    )
+                yield batch
+        finally:
+            pool.shutdown(wait=False)
+
+
+class DevicePrefetcher:
+    """Stage host batches onto devices one step ahead (double buffering)."""
+
+    def __init__(self, it: Iterator[Batch], put_fn, depth: int = 2):
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._put = put_fn
+        self._it = it
+        self._done = object()
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        try:
+            for batch in self._it:
+                self._q.put((self._put(batch.mel), self._put(batch.lengths), batch.filenames))
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is self._done:
+                return
+            yield item

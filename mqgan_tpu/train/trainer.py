@@ -1,0 +1,242 @@
+"""GAN trainer — host loop + CLI.
+
+Equivalent of the reference Trainer (train.py:202-652), re-designed for TPU:
+the entire per-batch schedule is one jitted step (train/step.py) compiled
+once per (crop bucket, phase); the host only loads data, stages it onto the
+device mesh, and logs. Data parallelism is on by default over all local
+devices; checkpoints hold the full state (orbax) with auto-resume-latest and
+generator-only warm-start (incl. PyTorch .pth import).
+
+CLI:  python -m mqgan_tpu.train.trainer --config configs/model_config.yaml
+      [--pretrained ckpt] [--output_dir dir]   (reference train.py:657-675)
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from functools import partial
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mqgan_tpu.core.config import TrainConfig
+from mqgan_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from mqgan_tpu.train.data import DevicePrefetcher, MelDataset, MelLoader, find_npy_files, split_train_eval
+from mqgan_tpu.train.state import TrainState, create_train_state
+from mqgan_tpu.train.step import build_models, make_eval_step, make_train_step
+from mqgan_tpu.utils import checkpoint as ckpt_utils
+from mqgan_tpu.utils.logging import MetricsLogger
+
+
+class Trainer:
+    def __init__(self, config: TrainConfig, *, use_wandb: bool = True,
+                 dtype=jnp.bfloat16, mesh=None, max_steps_per_epoch: int | None = None):
+        self.config = config
+        self.dtype = dtype
+        self.start_epoch = 1
+        self.max_steps_per_epoch = max_steps_per_epoch
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._repl = replicated(self.mesh)
+
+        self._setup_data()
+        self._setup_state()
+        self._steps: Dict[bool, callable] = {}
+        self._eval_step = None
+
+        log_cfg = config.logging
+        self.logger = MetricsLogger(
+            config.data.output_dir,
+            wandb_project=(log_cfg.wandb.project if use_wandb else None),
+            wandb_entity=log_cfg.wandb.entity,
+            config=config.to_dict(),
+        )
+
+    # ------------------------------------------------------------------
+    def _setup_data(self):
+        cfg = self.config
+        files = find_npy_files(cfg.data.data_dir)
+        if not files:
+            raise ValueError(f"No .npy files found in {cfg.data.data_dir}")
+        train_files, eval_files = split_train_eval(
+            files, cfg.data.validation_split, cfg.training.seed
+        )
+        print(f"Dataset: {len(files)} files -> {len(train_files)} train / "
+              f"{len(eval_files)} eval")
+        self.train_loader = MelLoader(
+            MelDataset(train_files),
+            batch_size=cfg.data.batch_size,
+            crop_lens=cfg.crop_lens,
+            seed=cfg.training.seed,
+        )
+        self.eval_dataset = MelDataset(eval_files)
+
+    def _setup_state(self):
+        cfg = self.config
+        gen, patch, mb = build_models(cfg, self.dtype)
+        self.gen, self.patch, self.mb = gen, patch, mb
+
+        t = max(cfg.crop_lens)
+        mel = jnp.zeros((cfg.data.batch_size, t, cfg.model.mel_channels), jnp.float32)
+        lengths = jnp.full((cfg.data.batch_size,), t, jnp.int32)
+        k = jax.random.key(cfg.training.seed)
+        kg, kp, km, kr = jax.random.split(k, 4)
+        gv = gen.init(kg, mel, lengths)
+        pv = patch.init(kp, mel, lengths)
+        mv = mb.init(km, mel, lengths)
+        state, _, _ = create_train_state(
+            gen_variables=gv, patch_variables=pv, multibin_variables=mv,
+            training_cfg=cfg.training, rng=kr,
+        )
+        # replicate the state over the mesh
+        state = jax.device_put(state, self._repl)
+        self.state = state
+
+        # checkpoint handling: auto-resume newest, else optional warm-start
+        # (reference train.py:339-378)
+        latest = ckpt_utils.latest_checkpoint(cfg.data.output_dir)
+        if latest is not None:
+            path, epoch = latest
+            print(f"Resuming from {path} (epoch {epoch})")
+            self.state = ckpt_utils.restore_checkpoint(path, self.state)
+            self.state = jax.device_put(self.state, self._repl)
+            self.start_epoch = epoch + 1
+        elif cfg.training.pretrained:
+            print(f"Warm-starting generator from {cfg.training.pretrained}")
+            gen_params = ckpt_utils.load_pretrained_generator(
+                cfg.training.pretrained,
+                cfg.model.generator.channels,
+                cfg.model.generator.refiner_depth,
+                template=self.state.gen_params,
+            )
+            gen_params = jax.device_put(gen_params, self._repl)
+            self.state = self.state.replace(gen_params=gen_params)
+
+    # ------------------------------------------------------------------
+    def _step_fn(self, train_d: bool):
+        if train_d not in self._steps:
+            self._steps[train_d] = make_train_step(
+                self.config, train_d=train_d, dtype=self.dtype
+            )
+        return self._steps[train_d]
+
+    def _put(self, arr):
+        return jax.device_put(arr, self._batch_sharding)
+
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        cfg = self.config
+        train_d = epoch >= cfg.training.discriminator_train_start_epoch
+        step_fn = self._step_fn(train_d)
+
+        it = DevicePrefetcher(self.train_loader.epoch(epoch), self._put)
+        last = {}
+        n = 0
+        t0 = time.time()
+        frames = 0
+        for mel, lengths, _names in it:
+            self.state, metrics = step_fn(self.state, mel, lengths)
+            n += 1
+            frames += int(np.prod(mel.shape[:2]))
+            if n % 10 == 0 or n == 1:
+                last = {k: float(v) for k, v in metrics.items()}
+                elapsed = time.time() - t0
+                last["frames_per_sec"] = frames / max(elapsed, 1e-9)
+                last["epoch"] = epoch
+                self.logger.log(last, step=int(self.state.step))
+            if self.max_steps_per_epoch and n >= self.max_steps_per_epoch:
+                break
+        return last
+
+    def evaluate(self, epoch: int, num_examples: int | None = None):
+        cfg = self.config
+        if self._eval_step is None:
+            self._eval_step = make_eval_step(cfg, self.dtype)
+        from mqgan_tpu.core.buckets import BucketPolicy, DEFAULT_INFERENCE_BUCKETS
+        from mqgan_tpu.utils.plotting import save_triptych
+
+        policy = BucketPolicy(DEFAULT_INFERENCE_BUCKETS[:6])
+        n = min(num_examples or cfg.logging.num_plot_examples, len(self.eval_dataset))
+        rng = np.random.default_rng(epoch)
+        idxs = rng.choice(len(self.eval_dataset), size=n, replace=False) if n else []
+        metrics_acc = []
+        for i, idx in enumerate(idxs):
+            mel = self.eval_dataset.load(int(idx))
+            if mel is None:
+                continue
+            batch, lengths, _ = policy.pad_batch([mel])
+            pre, post, _idx, m = self._eval_step(
+                self.state.gen_params, jnp.asarray(batch), jnp.asarray(lengths)
+            )
+            metrics_acc.append({k: float(v) for k, v in m.items()})
+            try:
+                save_triptych(
+                    cfg.data.output_dir, f"epoch_{epoch:03d}_eval_{i + 1}",
+                    batch[0], np.asarray(pre)[0], np.asarray(post)[0],
+                    length=int(lengths[0]),
+                )
+            except Exception as e:  # plotting is best-effort
+                print(f"plotting failed: {e}")
+        if metrics_acc:
+            avg = {k: float(np.mean([m[k] for m in metrics_acc]))
+                   for k in metrics_acc[0]}
+            avg["epoch"] = epoch
+            self.logger.log(avg, step=int(self.state.step))
+            return avg
+        return {}
+
+    def save(self, epoch: int):
+        path = ckpt_utils.save_checkpoint(
+            self.config.data.output_dir, jax.device_get(self.state), epoch,
+            self.config.to_dict(),
+        )
+        print(f"Checkpoint saved to {path}")
+
+    def train(self):
+        cfg = self.config
+        for epoch in range(self.start_epoch, cfg.training.num_epochs + 1):
+            last = self.train_epoch(epoch)
+            print(f"Epoch {epoch}: {last}")
+            if epoch % cfg.logging.eval_interval == 0 and len(self.eval_dataset):
+                self.evaluate(epoch)
+            if epoch % cfg.logging.save_interval == 0:
+                self.save(epoch)
+        print("Training finished.")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train an MQGAN-TPU model.")
+    parser.add_argument("--config", type=str, default="config.yaml")
+    parser.add_argument("--pretrained", type=str, default=None)
+    parser.add_argument("--output_dir", type=str, default=None)
+    parser.add_argument("--no_wandb", action="store_true")
+    parser.add_argument("--fp32", action="store_true",
+                        help="disable bf16 compute")
+    args = parser.parse_args(argv)
+
+    import dataclasses
+
+    config = TrainConfig.from_yaml(args.config)
+    if args.pretrained:
+        config = dataclasses.replace(
+            config, training=dataclasses.replace(config.training,
+                                                 pretrained=args.pretrained)
+        )
+    if args.output_dir:
+        config = dataclasses.replace(
+            config, data=dataclasses.replace(config.data,
+                                             output_dir=args.output_dir)
+        )
+
+    trainer = Trainer(
+        config, use_wandb=not args.no_wandb,
+        dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+    )
+    trainer.train()
+    trainer.logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Checkpointing (orbax) + warm-start import.
+
+Capability map vs the reference:
+* reference saves {epoch, generator weights, both optimizer states, scaler
+  states, config} and auto-resumes the newest checkpoint
+  (train.py:625-636, 339-347). Discriminator *weights* are never saved
+  there; we checkpoint the FULL TrainState (including discriminators,
+  LeCam EMA and spectral-norm stats) — strictly more capable — while
+  keeping the generator-only warm-start path (train.py:362-378), which also
+  accepts raw PyTorch .pth checkpoints via utils.torch_import.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+CKPT_RE = re.compile(r"checkpoint_epoch_(\d+)$")
+
+
+def _checkpointer():
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(output_dir: str, state: Any, epoch: int, config_dict=None) -> str:
+    """Save the full TrainState under output_dir/checkpoint_epoch_{epoch:03d}."""
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.abspath(os.path.join(output_dir, f"checkpoint_epoch_{epoch:03d}"))
+    ckptr = _checkpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    if config_dict is not None:
+        with open(os.path.join(output_dir, "config.json"), "w") as f:
+            json.dump({"epoch": epoch, "config": config_dict}, f, indent=2, default=str)
+    return path
+
+
+def latest_checkpoint(output_dir: str) -> tuple[str, int] | None:
+    """Newest checkpoint by epoch number (reference picks by ctime,
+    train.py:341 — epoch number is equivalent and more robust)."""
+    if not os.path.isdir(output_dir):
+        return None
+    best = None
+    for name in os.listdir(output_dir):
+        m = CKPT_RE.match(name)
+        if m:
+            epoch = int(m.group(1))
+            if best is None or epoch > best[1]:
+                best = (os.path.abspath(os.path.join(output_dir, name)), epoch)
+    return best
+
+
+def restore_checkpoint(path: str, abstract_state: Any) -> Any:
+    """Restore a TrainState saved by save_checkpoint; abstract_state is a
+    template (e.g. jax.eval_shape of the init fn, or an actual state)."""
+    ckptr = _checkpointer()
+    template = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)
+    return ckptr.restore(path, template)
+
+
+def save_generator_only(output_dir: str, gen_params: Any, name: str = "generator") -> str:
+    os.makedirs(output_dir, exist_ok=True)
+    path = os.path.abspath(os.path.join(output_dir, name))
+    ckptr = _checkpointer()
+    ckptr.save(path, gen_params, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def load_pretrained_generator(path: str, channels, refiner_depth: int,
+                              template: Any | None = None) -> Any:
+    """Generator warm-start from either:
+    * a PyTorch .pth checkpoint (reference format, train.py:362-378), or
+    * an orbax generator-only directory saved by save_generator_only.
+    """
+    if os.path.isfile(path) and path.endswith((".pth", ".pt")):
+        import torch
+
+        from mqgan_tpu.utils.torch_import import import_generator_params
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
+        sd = ckpt.get("model_state_dict", ckpt)
+        return import_generator_params(sd, channels, refiner_depth)
+    ckptr = _checkpointer()
+    if template is not None:
+        tmpl = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+        return ckptr.restore(os.path.abspath(path), tmpl)
+    return ckptr.restore(os.path.abspath(path))
