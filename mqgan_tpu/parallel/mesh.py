@@ -56,13 +56,23 @@ def params_shardings(mesh: Mesh, params: Any):
     if mesh.shape[MODEL_AXIS] == 1:
         return jax.tree.map(lambda _: replicated(mesh), params)
 
-    flat = jax.tree_util.tree_flatten_with_path(params)[0]
-    specs = {}
-
     def to_sharding(path, leaf):
         return NamedSharding(mesh, _param_spec(path, leaf))
 
     return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def state_shardings(mesh: Mesh, state: Any):
+    """Shardings for a whole TrainState: model params + mirrored optimizer
+    moments get the TP rule; scalars / rng / EMA state are replicated."""
+    n_model = mesh.shape[MODEL_AXIS]
+
+    def to_sharding(path, leaf):
+        if n_model > 1 and np.ndim(leaf) >= 2 and np.shape(leaf)[-1] % n_model == 0:
+            return NamedSharding(mesh, _param_spec(path, leaf))
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map_with_path(to_sharding, state)
 
 
 def shard_batch(mesh: Mesh, batch):
