@@ -1,0 +1,94 @@
+"""Headline benchmark: mel-frames/sec/chip for encode + quantize + decode.
+
+Runs the flagship (hifispeech: 128 mels, channels 512/512/512/768, FSQ
+[8,5,5,5], refiner 64/depth-3 — reference configs/model_config_hifispeech.yaml)
+PreEncoder's deployment path — mel -> FSQ indices -> refined mel — jitted in
+bf16 on whatever device JAX selects (the driver provides one real TPU chip).
+
+vs_baseline compares against the PyTorch reference measured on this host's
+CPU by benchmarks/measure_baseline.py (stored in benchmarks/baseline_cpu.json).
+
+Prints exactly ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+BATCH = 16
+FRAMES = 512
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mqgan_tpu.core.config import GeneratorConfig
+    from mqgan_tpu.core.masking import sequence_mask
+    from mqgan_tpu.models.preencoder import PreEncoder
+
+    gen = PreEncoder.from_config(128, GeneratorConfig(), dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    # distinct inputs per iteration — the execution tunnel caches repeated
+    # identical dispatches, which would fake the timing
+    mels = [
+        jnp.asarray(rng.standard_normal((BATCH, FRAMES, 128)).astype(np.float32))
+        for _ in range(ITERS + WARMUP)
+    ]
+    lengths = jnp.full((BATCH,), FRAMES, jnp.int32)
+
+    params = jax.jit(gen.init)(jax.random.key(0), mels[0], lengths)
+
+    @jax.jit
+    def reencode(params, mel, lengths):
+        pad = sequence_mask(mel.shape[1], lengths)
+        idx = gen.apply(params, mel, pad, method=PreEncoder.encode)
+        out = gen.apply(params, idx, pad, method=PreEncoder.decode)
+        # tiny scalar summary: forcing it to host guarantees execution even
+        # on lazy/tunneled backends where block_until_ready is a no-op
+        return idx, out, jnp.sum(out)
+
+    # warmup / compile (inputs disjoint from the timed set)
+    for i in range(WARMUP):
+        float(reencode(params, mels[ITERS + i], lengths)[2])
+
+    times = []
+    for i in range(ITERS):
+        t0 = time.perf_counter()
+        out = reencode(params, mels[i], lengths)
+        float(out[2])  # force execution + 4-byte fetch
+        times.append(time.perf_counter() - t0)
+
+    median = sorted(times)[len(times) // 2]
+    frames_per_sec = BATCH * FRAMES / median
+
+    baseline_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "benchmarks", "baseline_cpu.json"
+    )
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        vs_baseline = frames_per_sec / base["frames_per_sec"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "mel_frames_per_sec",
+                "value": round(frames_per_sec, 2),
+                "unit": "mel-frames/sec/chip (encode+FSQ+decode, bf16, B=16 T=512)",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
