@@ -1,0 +1,165 @@
+"""AOT model export — the TorchScript-export equivalent.
+
+Behavioral spec (reference convert_to_torchscript.py:10-124): load a training
+checkpoint with inference=True (weight norm folded), trace `encode` and
+`decode`, save per-device artifacts + the model config alongside, then
+verify by reloading through the runtime wrapper and running an
+encode->decode round-trip at a *different* sequence length than traced.
+
+TPU-native design: `jax.export` serializes the jitted encode/decode to
+StableHLO with the params baked in as constants (self-contained like a
+TorchScript .pt). The batch dimension is symbolic; the time dimension is
+exported per bucket (static shapes are what make XLA fast — the runtime
+wrapper pads to the nearest bucket and trims, deploy/runtime.py). Artifacts
+are multi-platform (tpu + cpu), mirroring the reference's model_cpu.pt /
+model_cuda.pt pair in a single file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import export as jexport
+
+from mqgan_tpu.core.config import TrainConfig
+from mqgan_tpu.models.preencoder import PreEncoder
+
+DEFAULT_EXPORT_BUCKETS = (128, 256, 512, 1024)
+MANIFEST_NAME = "manifest.json"
+
+
+def _export_platforms():
+    plats = ["cpu"]
+    try:
+        backend = jax.default_backend()
+        if backend not in plats:
+            plats.append(backend)
+    except Exception:
+        pass
+    # prefer tpu in the artifact even when exporting from a cpu host
+    if "tpu" not in plats:
+        plats.append("tpu")
+    return tuple(plats)
+
+
+def export_preencoder(
+    gen: PreEncoder,
+    params,
+    out_dir: str,
+    *,
+    buckets: Sequence[int] = DEFAULT_EXPORT_BUCKETS,
+    config_dict: dict | None = None,
+    verify: bool = True,
+) -> str:
+    """Serialize encode/decode per bucket with params baked in."""
+    os.makedirs(out_dir, exist_ok=True)
+    platforms = _export_platforms()
+    b = jexport.symbolic_shape("b")[0]
+
+    mel_ch = gen.mel_channels
+
+    def encode_fn(mel, pad_mask):
+        return gen.apply(params, mel, pad_mask, method=PreEncoder.encode)
+
+    def decode_fn(indices, pad_mask):
+        return gen.apply(params, indices, pad_mask, method=PreEncoder.decode)
+
+    manifest = {
+        "mel_channels": mel_ch,
+        "fsq_levels": list(gen.fsq_levels),
+        "codebook_size": gen.codebook_size,
+        "bos_token_id": gen.bos_token_id,
+        "eos_token_id": gen.eos_token_id,
+        "buckets": sorted(int(t) for t in buckets),
+        "platforms": list(platforms),
+        "files": {},
+    }
+
+    for t in sorted(int(t) for t in buckets):
+        enc = jexport.export(jax.jit(encode_fn), platforms=platforms)(
+            jax.ShapeDtypeStruct((b, t, mel_ch), jnp.float32),
+            jax.ShapeDtypeStruct((b, t), jnp.bool_),
+        )
+        dec = jexport.export(jax.jit(decode_fn), platforms=platforms)(
+            jax.ShapeDtypeStruct((b, t), jnp.int32),
+            jax.ShapeDtypeStruct((b, t), jnp.bool_),
+        )
+        enc_name, dec_name = f"encode_T{t}.shlo", f"decode_T{t}.shlo"
+        with open(os.path.join(out_dir, enc_name), "wb") as f:
+            f.write(enc.serialize())
+        with open(os.path.join(out_dir, dec_name), "wb") as f:
+            f.write(dec.serialize())
+        manifest["files"][str(t)] = {"encode": enc_name, "decode": dec_name}
+
+    if config_dict is not None:
+        with open(os.path.join(out_dir, "model_config.json"), "w") as f:
+            json.dump(config_dict, f, indent=2, default=str)
+    with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+    if verify:
+        verify_export(out_dir)
+    return out_dir
+
+
+def verify_export(out_dir: str) -> None:
+    """Reload through the runtime wrapper and round-trip at a length that is
+    NOT one of the exported buckets (reference convert_to_torchscript.py:
+    100-122 verifies at 384 after tracing at 513)."""
+    from mqgan_tpu.deploy.runtime import ExportedPreEncoder
+
+    rt = ExportedPreEncoder(out_dir)
+    t_verify = rt.buckets[0] - max(1, rt.buckets[0] // 4)
+    rng = np.random.default_rng(0)
+    spec = rng.standard_normal((2, t_verify, rt.mel_channels)).astype(np.float32)
+    lengths = np.array([t_verify, t_verify - 3], np.int32)
+
+    indices = rt.encode(spec, lengths)
+    assert indices.shape == (2, t_verify), indices.shape
+    assert indices.min() >= 0 and indices.max() < rt.codebook_size
+    recon = rt.decode(indices, lengths)
+    assert recon.shape == spec.shape, (recon.shape, spec.shape)
+    assert np.isfinite(recon).all()
+    print(f"export verification OK (roundtrip at T={t_verify})")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(
+        description="Export a trained PreEncoder to deployable StableHLO."
+    )
+    p.add_argument("--config", required=True, help="model config yaml")
+    p.add_argument("--checkpoint", required=True,
+                   help="orbax checkpoint dir (or .pth for torch import)")
+    p.add_argument("--output", required=True)
+    p.add_argument("--buckets", type=int, nargs="+",
+                   default=list(DEFAULT_EXPORT_BUCKETS))
+    args = p.parse_args(argv)
+
+    cfg = TrainConfig.from_yaml(args.config)
+    gen = PreEncoder.from_config(cfg.model.mel_channels, cfg.model.generator)
+
+    from mqgan_tpu.utils.checkpoint import load_pretrained_generator
+
+    t0 = max(cfg.crop_lens)
+    mel = jnp.zeros((1, t0, cfg.model.mel_channels), jnp.float32)
+    lengths = jnp.full((1,), t0, jnp.int32)
+    template = jax.eval_shape(gen.init, jax.random.key(0), mel, lengths)["params"]
+    gen_params = load_pretrained_generator(
+        args.checkpoint, cfg.model.generator.channels,
+        cfg.model.generator.refiner_depth, template=template,
+    )
+    export_preencoder(
+        gen, {"params": gen_params}, args.output,
+        buckets=args.buckets, config_dict=cfg.to_dict(),
+    )
+    print(f"exported to {args.output}")
+
+
+if __name__ == "__main__":
+    main()

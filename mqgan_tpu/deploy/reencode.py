@@ -1,0 +1,205 @@
+"""Batch dataset re-encoding through the codec.
+
+Behavioral spec (reference reencode_spectrograms.py:8-88 and
+reencode_spectrograms_from_checkpoint.py:9-108): recursive .npy discovery,
+batching, pad-to-batch-max, encode->decode with lengths, trim to original
+length, save into a mirrored output tree; per-batch error tolerance
+(log + continue); optional token dump for LM training.
+
+Two sources, like the reference pair of scripts:
+  --model-dir  exported StableHLO artifact (deploy/export.py)
+  --checkpoint raw checkpoint (orbax dir or torch .pth) + --config
+Long files are chunked to the largest bucket instead of failing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import List
+
+import numpy as np
+
+from mqgan_tpu.train.data import find_npy_files
+from mqgan_tpu.utils.npy import load_npy
+
+
+class CheckpointReencoder:
+    """In-process encode/decode from a raw checkpoint (no export), the
+    reencode_spectrograms_from_checkpoint.py equivalent."""
+
+    def __init__(self, config_path: str, checkpoint_path: str,
+                 buckets=(128, 256, 512, 1024), dtype=None):
+        import jax
+        import jax.numpy as jnp
+
+        from mqgan_tpu.core.buckets import BucketPolicy
+        from mqgan_tpu.core.config import TrainConfig
+        from mqgan_tpu.core.masking import sequence_mask
+        from mqgan_tpu.models.preencoder import PreEncoder
+        from mqgan_tpu.utils.checkpoint import load_pretrained_generator
+
+        cfg = TrainConfig.from_yaml(config_path)
+        gen = PreEncoder.from_config(cfg.model.mel_channels, cfg.model.generator,
+                                     dtype)
+        t0 = max(cfg.crop_lens)
+        mel = jnp.zeros((1, t0, cfg.model.mel_channels), jnp.float32)
+        lengths = jnp.full((1,), t0, jnp.int32)
+        template = jax.eval_shape(gen.init, jax.random.key(0), mel, lengths)["params"]
+        gen_params = load_pretrained_generator(
+            checkpoint_path, cfg.model.generator.channels,
+            cfg.model.generator.refiner_depth, template=template,
+        )
+        params = {"params": gen_params}
+        self.mel_channels = cfg.model.mel_channels
+        self.buckets = sorted(buckets)
+        self._policy = BucketPolicy(tuple(self.buckets))
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnums=())
+        def _encode(mel, pad_mask):
+            return gen.apply(params, mel, pad_mask, method=PreEncoder.encode)
+
+        @functools.partial(jax.jit, static_argnums=())
+        def _decode(idx, pad_mask):
+            return gen.apply(params, idx, pad_mask, method=PreEncoder.decode)
+
+        self._encode_fn = _encode
+        self._decode_fn = _decode
+
+    def _prepare(self, arr, lengths, pad_value=0.0):
+        b, t = arr.shape[0], arr.shape[1]
+        lengths = np.asarray(lengths, np.int32)
+        tb = self._policy.bucket_for(t)
+        if tb != t:
+            pad_shape = (b, tb - t) + arr.shape[2:]
+            arr = np.concatenate([arr, np.full(pad_shape, pad_value, arr.dtype)], 1)
+        pad_mask = np.arange(tb)[None, :] >= lengths[:, None]
+        return arr, pad_mask, t
+
+    def encode(self, spec, lengths=None):
+        spec = np.asarray(spec, np.float32)
+        if lengths is None:
+            lengths = np.full((spec.shape[0],), spec.shape[1], np.int32)
+        spec, pad_mask, t = self._prepare(spec, lengths)
+        return np.asarray(self._encode_fn(spec, pad_mask))[:, :t]
+
+    def decode(self, indices, lengths=None):
+        indices = np.asarray(indices, np.int32)
+        if lengths is None:
+            lengths = np.full((indices.shape[0],), indices.shape[1], np.int32)
+        indices, pad_mask, t = self._prepare(indices, lengths, 0)
+        return np.asarray(self._decode_fn(indices, pad_mask))[:, :t]
+
+    def reencode(self, spec, lengths=None):
+        return self.decode(self.encode(spec, lengths), lengths)
+
+
+def reencode_spectrograms(
+    codec,
+    input_dir: str,
+    output_dir: str,
+    *,
+    batch_size: int = 8,
+    save_tokens: bool = False,
+    tokens_dir: str | None = None,
+    max_chunk: int | None = None,
+) -> dict:
+    """Walk input_dir, re-encode every .npy mel, mirror the tree into
+    output_dir. Returns {'processed': n, 'failed': n}."""
+    files = find_npy_files(input_dir)
+    print(f"Found {len(files)} spectrograms under {input_dir}")
+    os.makedirs(output_dir, exist_ok=True)
+    if save_tokens and tokens_dir:
+        os.makedirs(tokens_dir, exist_ok=True)
+
+    max_chunk = max_chunk or max(codec.buckets)
+    processed = failed = 0
+
+    for start in range(0, len(files), batch_size):
+        batch_files = files[start : start + batch_size]
+        try:
+            mels: List[np.ndarray] = []
+            for path in batch_files:
+                mels.append(np.asarray(load_npy(path), np.float32))
+            t_max = min(max(m.shape[0] for m in mels), max_chunk)
+
+            out_specs = [
+                np.zeros((m.shape[0], codec.mel_channels), np.float32)
+                for m in mels
+            ]
+            out_tokens = [np.zeros((m.shape[0],), np.int32) for m in mels]
+
+            # chunk long files to the largest bucket
+            pos = 0
+            remaining = max(m.shape[0] for m in mels)
+            while pos < remaining:
+                chunk = np.zeros((len(mels), t_max, codec.mel_channels), np.float32)
+                lens = np.zeros((len(mels),), np.int32)
+                for i, m in enumerate(mels):
+                    n = min(max(m.shape[0] - pos, 0), t_max)
+                    if n > 0:
+                        chunk[i, :n] = m[pos : pos + n]
+                    lens[i] = n
+                if (lens == 0).all():
+                    break
+                safe_lens = np.maximum(lens, 1)
+                tokens = codec.encode(chunk, safe_lens)
+                recon = codec.decode(tokens, safe_lens)
+                for i in range(len(mels)):
+                    n = lens[i]
+                    if n > 0:
+                        out_specs[i][pos : pos + n] = recon[i, :n]
+                        out_tokens[i][pos : pos + n] = tokens[i, :n]
+                pos += t_max
+
+            for path, spec, toks in zip(batch_files, out_specs, out_tokens):
+                rel = os.path.relpath(path, input_dir)
+                dst = os.path.join(output_dir, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                np.save(dst, spec)
+                if save_tokens and tokens_dir:
+                    tdst = os.path.join(tokens_dir, rel)
+                    os.makedirs(os.path.dirname(tdst), exist_ok=True)
+                    np.save(tdst, toks.astype(np.int64))
+                processed += 1
+        except Exception as e:  # noqa: BLE001 — per-batch tolerance
+            # (reference reencode_spectrograms.py:83-85)
+            print(f"Batch starting at {batch_files[0]} failed: {e}")
+            failed += len(batch_files)
+
+    print(f"Re-encoded {processed} files ({failed} failed) -> {output_dir}")
+    return {"processed": processed, "failed": failed}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Re-encode mel datasets through the codec.")
+    p.add_argument("--input_dir", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--model_dir", help="exported StableHLO artifact directory")
+    p.add_argument("--checkpoint", help="orbax dir or torch .pth (needs --config)")
+    p.add_argument("--config", help="model config yaml (with --checkpoint)")
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--save_tokens", action="store_true")
+    p.add_argument("--tokens_dir", default=None)
+    args = p.parse_args(argv)
+
+    if args.model_dir:
+        from mqgan_tpu.deploy.runtime import ExportedPreEncoder
+
+        codec = ExportedPreEncoder(args.model_dir)
+    elif args.checkpoint and args.config:
+        codec = CheckpointReencoder(args.config, args.checkpoint)
+    else:
+        p.error("provide --model_dir, or --checkpoint with --config")
+
+    reencode_spectrograms(
+        codec, args.input_dir, args.output_dir,
+        batch_size=args.batch_size, save_tokens=args.save_tokens,
+        tokens_dir=args.tokens_dir,
+    )
+
+
+if __name__ == "__main__":
+    main()

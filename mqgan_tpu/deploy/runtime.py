@@ -1,0 +1,113 @@
+"""Deployment runtime wrapper — the ScriptedPreEncoder equivalent.
+
+Behavioral spec (reference scripted_preencoder.py:24-175): load a model
+directory (artifact + config), pick the best available device with graceful
+fallback, build masks from lengths, expose `encode(spec, lengths)` /
+`decode(indices, lengths)` plus `mel_channels` / `fsq_levels` config
+properties.
+
+Here the artifact is bucketed StableHLO with baked-in params
+(deploy/export.py). Arbitrary lengths are served by padding to the nearest
+bucket and trimming (core.buckets); inputs longer than the largest bucket
+are rejected with a clear error (deploy/reencode.py chunks instead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+import numpy as np
+
+from mqgan_tpu.core.buckets import BucketPolicy
+from mqgan_tpu.deploy.export import MANIFEST_NAME
+
+
+class ExportedPreEncoder:
+    def __init__(self, model_dir: str):
+        import jax
+        from jax import export as jexport
+
+        self.model_dir = model_dir
+        with open(os.path.join(model_dir, MANIFEST_NAME)) as f:
+            self.manifest = json.load(f)
+        self.buckets = sorted(self.manifest["buckets"])
+        self._policy = BucketPolicy(tuple(self.buckets))
+
+        self._enc = {}
+        self._dec = {}
+        for t_str, files in self.manifest["files"].items():
+            t = int(t_str)
+            with open(os.path.join(model_dir, files["encode"]), "rb") as f:
+                self._enc[t] = jexport.deserialize(f.read())
+            with open(os.path.join(model_dir, files["decode"]), "rb") as f:
+                self._dec[t] = jexport.deserialize(f.read())
+
+        cfg_path = os.path.join(model_dir, "model_config.json")
+        self.config = None
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                self.config = json.load(f)
+        self.device = jax.devices()[0]
+
+    # ---- config properties (reference scripted_preencoder.py:96-104) ----
+    @property
+    def mel_channels(self) -> int:
+        return int(self.manifest["mel_channels"])
+
+    @property
+    def fsq_levels(self) -> list:
+        return list(self.manifest["fsq_levels"])
+
+    @property
+    def codebook_size(self) -> int:
+        return int(self.manifest["codebook_size"])
+
+    @property
+    def bos_token_id(self) -> int:
+        return int(self.manifest["bos_token_id"])
+
+    @property
+    def eos_token_id(self) -> int:
+        return int(self.manifest["eos_token_id"])
+
+    # ------------------------------------------------------------------
+    def _prepare(self, arr: np.ndarray, lengths, pad_value=0.0):
+        arr = np.asarray(arr)
+        b, t = arr.shape[0], arr.shape[1]
+        if lengths is None:
+            lengths = np.full((b,), t, np.int32)
+        lengths = np.asarray(lengths, np.int32)
+        if t > self.buckets[-1]:
+            raise ValueError(
+                f"sequence length {t} exceeds the largest exported bucket "
+                f"{self.buckets[-1]}; chunk the input (see deploy.reencode)"
+            )
+        tb = self._policy.bucket_for(t)
+        if tb != t:
+            pad_shape = (b, tb - t) + arr.shape[2:]
+            arr = np.concatenate(
+                [arr, np.full(pad_shape, pad_value, arr.dtype)], axis=1
+            )
+        pad_mask = np.arange(tb)[None, :] >= lengths[:, None]
+        return arr, pad_mask, t, tb
+
+    def encode(self, spec: np.ndarray, lengths=None) -> np.ndarray:
+        """(B, T, mel) float32 -> (B, T) int32 FSQ indices."""
+        spec, pad_mask, t, tb = self._prepare(
+            np.asarray(spec, np.float32), lengths
+        )
+        out = self._enc[tb].call(spec, pad_mask)
+        return np.asarray(out)[:, :t]
+
+    def decode(self, indices: np.ndarray, lengths=None) -> np.ndarray:
+        """(B, T) int -> (B, T, mel) refined mel."""
+        indices, pad_mask, t, tb = self._prepare(
+            np.asarray(indices, np.int32), lengths, pad_value=0
+        )
+        out = self._dec[tb].call(indices, pad_mask)
+        return np.asarray(out)[:, :t]
+
+    def reencode(self, spec: np.ndarray, lengths=None) -> np.ndarray:
+        return self.decode(self.encode(spec, lengths), lengths)
