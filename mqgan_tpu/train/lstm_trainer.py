@@ -1,0 +1,253 @@
+"""Token-LM trainer — genre-conditioned next-token prediction CLI.
+
+Behavioral spec (reference train_music_lstm_v2.py:402-624): *.npy int token
+chunks + fname_to_id.json genre map, BOS prepend, seeded train/val split,
+AdamW + grad clip, masked CE (ignore pad), NaN-loss batch skip, perplexity,
+best-val-loss checkpointing with run args embedded.
+(The reference's eval loop has a latent crash — collate returns a 4-tuple
+but evaluate_loop unpacks 3, train_music_lstm_v2.py:142,366; ours works.)
+
+TPU-first: one jitted step per length bucket (pad-to-bucket instead of
+pad-to-batch-max keeps the compile set small); the NaN-skip is in-graph
+(updates scaled by an isfinite flag) so there is no per-step host sync.
+
+Usage: python -m mqgan_tpu.train.lstm_trainer --chunks_dir D
+       --mapping_json M --vocab_size 1003 --num_genres N [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import time
+from functools import partial
+from typing import List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mqgan_tpu.models.music_lstm import MusicLSTM, masked_ce_loss
+from mqgan_tpu.utils.logging import MetricsLogger
+from mqgan_tpu.utils.npy import load_npy
+
+LEN_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+
+
+class MusicChunkDataset:
+    """reference train_music_lstm_v2.py:58-110."""
+
+    def __init__(self, chunks_dir: str, mapping_json: str, bos_id=1, pad_id=0):
+        self.chunks_dir = chunks_dir
+        self.bos_id = bos_id
+        self.pad_id = pad_id
+        with open(mapping_json, encoding="utf-8") as f:
+            fname2genre = json.load(f)
+        self.items: List[Tuple[str, int]] = [
+            (os.path.join(chunks_dir, fname), gid)
+            for fname, gid in fname2genre.items()
+            if os.path.isfile(os.path.join(chunks_dir, fname))
+        ]
+        if not self.items:
+            raise RuntimeError(
+                f"No matching .npy files in {chunks_dir} per {mapping_json}"
+            )
+        print(f"Found {len(self.items)} valid chunk files.")
+
+    def __len__(self):
+        return len(self.items)
+
+    def load(self, idx: int):
+        path, genre_id = self.items[idx]
+        seq = np.asarray(load_npy(path, use_native=False)).astype(np.int64)
+        seq = np.concatenate([[self.bos_id], seq])  # BOS prepend
+        return seq, genre_id
+
+
+def collate_music(seqs, genres, pad_id=0, max_len: int | None = None):
+    """Pad to the smallest bucket covering the batch (static XLA shapes)."""
+    lengths = np.array([len(s) for s in seqs], np.int32)
+    need = int(lengths.max()) if len(lengths) else 1
+    bucket = next((b for b in LEN_BUCKETS if b >= need), LEN_BUCKETS[-1])
+    if max_len:
+        bucket = min(bucket, max_len)
+    tokens = np.full((len(seqs), bucket), pad_id, np.int64)
+    for i, s in enumerate(seqs):
+        n = min(len(s), bucket)
+        tokens[i, :n] = s[:n]
+    lengths = np.minimum(lengths, bucket)
+    return tokens, np.asarray(genres, np.int64), lengths
+
+
+def make_lstm_step(model: MusicLSTM, tx, pad_id: int, train: bool):
+    def loss_fn(params, tokens, genres, lengths, rng):
+        inp, tgt = tokens[:, :-1], tokens[:, 1:]
+        logits = model.apply(
+            {"params": params}, inp, genres, lengths - 1,
+            deterministic=not train,
+            rngs={"dropout": rng} if train else {},
+        )
+        loss, n_valid = masked_ce_loss(logits, tgt, pad_id)
+        return loss, n_valid
+
+    if not train:
+        @jax.jit
+        def eval_step(params, tokens, genres, lengths):
+            loss, n_valid = loss_fn(params, tokens, genres, lengths,
+                                    jax.random.key(0))
+            return loss, n_valid
+
+        return eval_step
+
+    @jax.jit
+    def train_step(params, opt_state, tokens, genres, lengths, rng):
+        rng, sub = jax.random.split(rng)
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, tokens, genres, lengths, sub
+        )
+        # in-graph NaN/Inf skip (reference train_music_lstm_v2.py:295-299)
+        ok = jnp.isfinite(loss)
+        grads = jax.tree.map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads
+        )
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        new_params = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), new_params, params
+        )
+        new_opt = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), new_opt, opt_state
+        )
+        return new_params, new_opt, loss, rng
+
+    return train_step
+
+
+def batches(ds: MusicChunkDataset, idxs, batch_size, pad_id, rng: np.random.Generator | None):
+    order = list(idxs)
+    if rng is not None:
+        rng.shuffle(order)
+    for start in range(0, len(order), batch_size):
+        chunk = order[start : start + batch_size]
+        if len(chunk) < batch_size:
+            chunk = chunk + chunk[: batch_size - len(chunk)]  # repeat-pad
+        seqs, genres = zip(*[ds.load(i) for i in chunk])
+        yield collate_music(seqs, genres, pad_id)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="Train a genre-conditioned LSTM token LM.")
+    p.add_argument("--chunks_dir", default="musicmels")
+    p.add_argument("--mapping_json", default="fname_to_id.json")
+    p.add_argument("--val_split", type=float, default=0.1)
+    p.add_argument("--vocab_size", type=int, required=True)
+    p.add_argument("--num_genres", type=int, required=True)
+    p.add_argument("--emb_dim", type=int, default=512)
+    p.add_argument("--lstm_hid", type=int, default=1024)
+    p.add_argument("--lstm_layers", type=int, default=2)
+    p.add_argument("--bos_id", type=int, default=1)
+    p.add_argument("--pad_id", type=int, default=0)
+    p.add_argument("--epochs", type=int, default=5)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--log_every", type=int, default=100)
+    p.add_argument("--out_dir", default="logs/musiclstm-run1")
+    p.add_argument("--bf16", action="store_true")
+    args = p.parse_args(argv)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    logger = MetricsLogger(args.out_dir, run_name="lstm")
+
+    ds = MusicChunkDataset(args.chunks_dir, args.mapping_json,
+                           bos_id=args.bos_id, pad_id=args.pad_id)
+    rng_np = np.random.default_rng(args.seed)
+    perm = rng_np.permutation(len(ds))
+    val_size = max(1, int(args.val_split * len(ds)))
+    val_idx, train_idx = perm[:val_size].tolist(), perm[val_size:].tolist()
+    print(f"Split: {len(train_idx)} train / {len(val_idx)} val")
+
+    model = MusicLSTM(
+        vocab_size=args.vocab_size, num_genres=args.num_genres,
+        emb_dim=args.emb_dim, lstm_hid=args.lstm_hid,
+        lstm_layers=args.lstm_layers, pad_id=args.pad_id,
+        dtype=jnp.bfloat16 if args.bf16 else None,
+    )
+    tok0, gen0, len0 = next(batches(ds, train_idx, args.batch_size,
+                                    args.pad_id, None))
+    params = model.init(jax.random.key(args.seed), jnp.asarray(tok0[:, :-1]),
+                        jnp.asarray(gen0), jnp.asarray(len0 - 1))["params"]
+    n_params = sum(np.prod(np.shape(x)) for x in jax.tree.leaves(params))
+    print(f"Total trainable parameters: {n_params / 1e6:.2f} M")
+
+    tx = optax.chain(optax.clip_by_global_norm(args.max_grad_norm),
+                     optax.adamw(args.lr))
+    opt_state = tx.init(params)
+    train_step = make_lstm_step(model, tx, args.pad_id, train=True)
+    eval_step = make_lstm_step(model, tx, args.pad_id, train=False)
+    rng = jax.random.key(args.seed + 1)
+
+    best_val = float("inf")
+    global_step = 0
+    for epoch in range(1, args.epochs + 1):
+        t0 = time.time()
+        ep_loss, n_batches = 0.0, 0
+        for tokens, genres, lengths in batches(
+            ds, train_idx, args.batch_size, args.pad_id,
+            np.random.default_rng(args.seed + epoch),
+        ):
+            params, opt_state, loss, rng = train_step(
+                params, opt_state, jnp.asarray(tokens), jnp.asarray(genres),
+                jnp.asarray(lengths), rng,
+            )
+            global_step += 1
+            n_batches += 1
+            if n_batches % args.log_every == 0 or n_batches == 1:
+                loss_f = float(loss)
+                ep_loss += loss_f
+                logger.log(
+                    {"train/loss_step": loss_f, "epoch": epoch,
+                     "steps_per_sec": n_batches / (time.time() - t0)},
+                    step=global_step,
+                )
+
+        # validation (working, unlike the reference's crashing eval loop)
+        val_losses, val_ns = [], []
+        for tokens, genres, lengths in batches(
+            ds, val_idx, args.batch_size, args.pad_id, None
+        ):
+            loss, n = eval_step(params, jnp.asarray(tokens),
+                                jnp.asarray(genres), jnp.asarray(lengths))
+            if np.isfinite(float(loss)):
+                val_losses.append(float(loss) * float(n))
+                val_ns.append(float(n))
+        avg_val = (sum(val_losses) / max(sum(val_ns), 1.0)) if val_ns else 0.0
+        val_ppl = math.exp(avg_val) if avg_val < 700 else float("inf")
+        print(f"Epoch {epoch}: val loss {avg_val:.4f}, ppl {val_ppl:.2f}")
+        logger.log({"val/loss": avg_val, "val/perplexity": val_ppl,
+                    "epoch": epoch}, step=global_step)
+
+        if avg_val < best_val:
+            best_val = avg_val
+            from mqgan_tpu.utils.checkpoint import save_generator_only
+
+            path = save_generator_only(
+                args.out_dir, jax.device_get(params),
+                f"model_epoch_{epoch}_valloss_{avg_val:.4f}",
+            )
+            with open(os.path.join(args.out_dir, "best.json"), "w") as f:
+                json.dump({"epoch": epoch, "val_loss": avg_val,
+                           "path": path, "args": vars(args)}, f, indent=2)
+            print(f"  New best validation loss. Saved model to {path}")
+
+    logger.close()
+    print("Training finished.")
+
+
+if __name__ == "__main__":
+    main()
