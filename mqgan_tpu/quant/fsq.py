@@ -147,9 +147,16 @@ def implicit_codebook(spec: FSQSpec) -> np.ndarray:
 
 
 class FSQ(nn.Module):
-    """Module wrapper: projectionless FSQ (dim == len(levels), the reference
-    PreEncoder usage at preencoder.py:334-336 — q_in/q_out projections live
-    in the PreEncoder, matching has_projections=False here).
+    """Full-featured FSQ module (reference quantizer.py:50-272).
+
+    The PreEncoder uses the projectionless single-codebook form
+    (preencoder.py:334-336); for standalone use this module also supports:
+    * `dim` != effective codebook dim -> learned project_in / project_out
+      (quantizer.py:94-96);
+    * `num_codebooks` > 1: the feature dim splits into per-codebook groups,
+      each packed independently; indices gain a trailing codebook axis when
+      `keep_num_codebooks_dim` (quantizer.py:86-88, 229, 267-268);
+    * `channel_first` inputs (B, d, ...) (quantizer.py:92, 217-223).
 
     Forward returns (codes, indices) like reference FSQ.forward
     (quantizer.py:207-272). Quantization math runs in fp32 regardless of the
@@ -157,6 +164,11 @@ class FSQ(nn.Module):
     """
 
     levels: Tuple[int, ...]
+    dim: int | None = None
+    num_codebooks: int = 1
+    keep_num_codebooks_dim: bool | None = None
+    channel_first: bool = False
+    projection_has_bias: bool = True
     preserve_symmetry: bool = False
     noise_dropout: float = 0.0
 
@@ -168,9 +180,49 @@ class FSQ(nn.Module):
             noise_dropout=self.noise_dropout,
         )
 
+    @property
+    def codebook_dim(self) -> int:
+        return len(self.levels)
+
+    @property
+    def effective_codebook_dim(self) -> int:
+        return self.codebook_dim * self.num_codebooks
+
+    @property
+    def codebook_size(self) -> int:
+        return self.spec.codebook_size
+
+    @property
+    def has_projections(self) -> bool:
+        dim = self.dim if self.dim is not None else self.effective_codebook_dim
+        return dim != self.effective_codebook_dim
+
     @nn.compact
     def __call__(self, z: jax.Array, training: bool = False):
         spec = self.spec
+        keep_cb_dim = (
+            self.keep_num_codebooks_dim
+            if self.keep_num_codebooks_dim is not None
+            else self.num_codebooks > 1
+        )
+        assert not (self.num_codebooks > 1 and not keep_cb_dim)
+
+        moved = False
+        if self.channel_first or z.ndim >= 4:
+            # (B, d, ...) -> (B, ..., d), flatten spatial dims
+            z = jnp.moveaxis(z, 1, -1)
+            moved = True
+        lead_shape = z.shape[:-1]
+        z = z.reshape(z.shape[0], -1, z.shape[-1])
+
+        if self.has_projections:
+            z = nn.Dense(self.effective_codebook_dim,
+                         use_bias=self.projection_has_bias,
+                         name="project_in")(z)
+
+        b, n, _ = z.shape
+        z = z.reshape(b, n, self.num_codebooks, self.codebook_dim)
+
         orig_dtype = z.dtype
         z32 = z.astype(jnp.float32)
         rng = None
@@ -178,4 +230,23 @@ class FSQ(nn.Module):
             rng = self.make_rng("fsq_noise")
         codes = quantize(z32, spec, training=training, rng=rng)
         indices = codes_to_indices(jax.lax.stop_gradient(codes), spec)
-        return codes.astype(orig_dtype), indices
+        # (B, N, C_books)
+
+        codes = codes.reshape(b, n, self.effective_codebook_dim).astype(orig_dtype)
+        out = codes
+        if self.has_projections:
+            out = nn.Dense(self.dim, use_bias=self.projection_has_bias,
+                           name="project_out")(out)
+
+        out = out.reshape(lead_shape + (out.shape[-1],))
+        indices = indices.reshape(lead_shape + (self.num_codebooks,))
+        if moved:
+            out = jnp.moveaxis(out, -1, 1)
+        if not keep_cb_dim:
+            indices = indices[..., 0]  # num_codebooks == 1 (asserted above)
+        return out, indices
+
+    def indices_to_codes(self, indices: jax.Array) -> jax.Array:
+        """Inverse of the packing (projectionless path only; with
+        projections use .apply with method=)."""
+        return indices_to_codes(indices, self.spec)

@@ -136,10 +136,12 @@ class Trainer:
         n = 0
         t0 = time.time()
         frames = 0
-        for mel, lengths, _names in it:
+        last_batch = None
+        for mel, lengths, names in it:
             self.state, metrics = step_fn(self.state, mel, lengths)
             n += 1
             frames += int(np.prod(mel.shape[:2]))
+            last_batch = (mel, lengths, names)
             if n % 10 == 0 or n == 1:
                 last = {k: float(v) for k, v in metrics.items()}
                 elapsed = time.time() - t0
@@ -148,7 +150,33 @@ class Trainer:
                 self.logger.log(last, step=int(self.state.step))
             if self.max_steps_per_epoch and n >= self.max_steps_per_epoch:
                 break
+        self._log_train_images(epoch, last_batch)
         return last
+
+    def _log_train_images(self, epoch: int, batch):
+        """End-of-epoch original/pre/post triptychs from the last train batch
+        (reference _log_train_images, train.py:539-573)."""
+        if batch is None or self.config.logging.num_plot_examples <= 0:
+            return
+        if self._eval_step is None:
+            self._eval_step = make_eval_step(self.config, self.dtype)
+        from mqgan_tpu.utils.plotting import save_triptych
+
+        mel, lengths, names = batch
+        pre, post, _idx, _m = self._eval_step(self.state.gen_params, mel, lengths)
+        mel_h, pre_h, post_h = (np.asarray(jax.device_get(x)) for x in (mel, pre, post))
+        lens_h = np.asarray(jax.device_get(lengths))
+        k = min(self.config.logging.num_plot_examples, mel_h.shape[0])
+        for i in range(k):
+            try:
+                save_triptych(
+                    self.config.data.output_dir,
+                    f"epoch_{epoch:03d}_train_{i + 1}",
+                    mel_h[i], pre_h[i], post_h[i], length=int(lens_h[i]),
+                )
+            except Exception as e:  # plotting is best-effort
+                print(f"train plotting failed: {e}")
+                break
 
     def evaluate(self, epoch: int, num_examples: int | None = None):
         cfg = self.config
