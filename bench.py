@@ -19,10 +19,10 @@ import time
 
 import numpy as np
 
-BATCH = 16
+BATCH = 64
 FRAMES = 512
 WARMUP = 3
-ITERS = 20
+ITERS = 12
 
 
 def main():
@@ -83,7 +83,7 @@ def main():
             {
                 "metric": "mel_frames_per_sec",
                 "value": round(frames_per_sec, 2),
-                "unit": "mel-frames/sec/chip (encode+FSQ+decode, bf16, B=16 T=512)",
+                "unit": "mel-frames/sec/chip (encode+FSQ+decode, bf16, B=64 T=512)",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
             }
         )
