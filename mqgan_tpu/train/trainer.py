@@ -31,13 +31,21 @@ from mqgan_tpu.utils import checkpoint as ckpt_utils
 from mqgan_tpu.utils.logging import MetricsLogger
 
 
+_PROFILE_START = 2  # steps to skip (compile + warmup) before tracing
+
+
 class Trainer:
     def __init__(self, config: TrainConfig, *, use_wandb: bool = True,
-                 dtype=jnp.bfloat16, mesh=None, max_steps_per_epoch: int | None = None):
+                 dtype=jnp.bfloat16, mesh=None, max_steps_per_epoch: int | None = None,
+                 profile_steps: int = 0):
         self.config = config
         self.dtype = dtype
         self.start_epoch = 1
         self.max_steps_per_epoch = max_steps_per_epoch
+        # capture a jax.profiler trace for profile_steps steps of the
+        # first epoch into {output_dir}/profile
+        self.profile_steps = profile_steps
+        self._profiling = False
         self.mesh = mesh if mesh is not None else make_mesh()
         self._batch_sharding = batch_sharding(self.mesh)
         self._repl = replicated(self.mesh)
@@ -138,20 +146,45 @@ class Trainer:
         frames = 0
         last_batch = None
         for mel, lengths, names in it:
+            if self.profile_steps and epoch == self.start_epoch:
+                self._maybe_profile(n)
             self.state, metrics = step_fn(self.state, mel, lengths)
             n += 1
             frames += int(np.prod(mel.shape[:2]))
             last_batch = (mel, lengths, names)
             if n % 10 == 0 or n == 1:
                 last = {k: float(v) for k, v in metrics.items()}
+                if not all(np.isfinite(v) for v in last.values()):
+                    bad = [k for k, v in last.items() if not np.isfinite(v)]
+                    print(f"WARNING: non-finite metrics at step "
+                          f"{int(self.state.step)}: {bad}")
                 elapsed = time.time() - t0
                 last["frames_per_sec"] = frames / max(elapsed, 1e-9)
                 last["epoch"] = epoch
                 self.logger.log(last, step=int(self.state.step))
             if self.max_steps_per_epoch and n >= self.max_steps_per_epoch:
                 break
+        if self._profiling:
+            self._maybe_profile(_PROFILE_START + self.profile_steps)  # close
         self._log_train_images(epoch, last_batch)
         return last
+
+    def _maybe_profile(self, n: int):
+        """Capture a device trace for steps [START, START+profile_steps) —
+        the jax.profiler hook called out in SURVEY §5 (the reference has
+        no profiling at all). START skips compile + warmup steps."""
+        import os
+
+        if not self._profiling and n == _PROFILE_START:
+            trace_dir = os.path.join(self.config.data.output_dir, "profile")
+            jax.profiler.start_trace(trace_dir)
+            self._profiling = True
+            print(f"profiling -> {trace_dir}")
+        elif self._profiling and n >= _PROFILE_START + self.profile_steps:
+            jax.block_until_ready(self.state)
+            jax.profiler.stop_trace()
+            self._profiling = False
+            print("profiling stopped")
 
     def _log_train_images(self, epoch: int, batch):
         """End-of-epoch original/pre/post triptychs from the last train batch
@@ -242,6 +275,9 @@ def main(argv=None):
     parser.add_argument("--no_wandb", action="store_true")
     parser.add_argument("--fp32", action="store_true",
                         help="disable bf16 compute")
+    parser.add_argument("--profile", type=int, default=0, metavar="N",
+                        help="capture a jax.profiler trace for N steps of "
+                             "the first epoch into {output_dir}/profile")
     args = parser.parse_args(argv)
 
     import dataclasses
@@ -261,6 +297,7 @@ def main(argv=None):
     trainer = Trainer(
         config, use_wandb=not args.no_wandb,
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
+        profile_steps=args.profile,
     )
     trainer.train()
     trainer.logger.close()
