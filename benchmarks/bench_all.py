@@ -1,0 +1,230 @@
+"""Benchmark harness for the five BASELINE.json configs.
+
+  1  single-mel encode->FSQ->decode latency (reencode-from-checkpoint path)
+  2  wav->mel batch extraction (spec_config_hifispeech)
+  3  full GAN train step, hifispeech (warmup + GAN phases)
+  4  full GAN train step, hifimusic
+  5  directory-scale re-encode throughput (B=64, the bench.py headline)
+
+Runs on whatever device JAX selects (the real TPU chip under the driver).
+Timing uses distinct inputs per iteration and per-iteration forced host
+fetches (the tunneled backend executes lazily and caches repeated identical
+dispatches — see benchmarks/README.md).
+
+Usage: python benchmarks/bench_all.py [--configs 1 2 5] [--out results.json]
+Each result prints as one JSON line and is written to the output file.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ITERS = 6
+
+
+def _timeit(fn, inputs, warm_inputs):
+    import jax.numpy as jnp
+
+    for w in warm_inputs:
+        float(jnp.sum(fn(*w).astype(jnp.float32)))
+    ts = []
+    for args in inputs:
+        t0 = time.perf_counter()
+        out = fn(*args)
+        float(jnp.sum(out.astype(jnp.float32)))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[len(ts) // 2]
+
+
+def _gen_and_params(cfg, dtype, b, t):
+    import jax
+    import jax.numpy as jnp
+
+    from mqgan_tpu.models.preencoder import PreEncoder
+
+    gen = PreEncoder.from_config(cfg.model.mel_channels, cfg.model.generator, dtype)
+    mel = jnp.zeros((b, t, cfg.model.mel_channels), jnp.float32)
+    lens = jnp.full((b,), t, jnp.int32)
+    params = jax.jit(gen.init)(jax.random.key(0), mel, lens)
+    return gen, params
+
+
+def bench_single_mel():
+    """Config 1: one mel through encode+decode, B=1 T=512 latency."""
+    import jax
+    import jax.numpy as jnp
+
+    from mqgan_tpu.core.config import TrainConfig
+    from mqgan_tpu.models.preencoder import PreEncoder
+
+    cfg = TrainConfig.from_dict({})
+    gen, params = _gen_and_params(cfg, jnp.bfloat16, 1, 512)
+    pad = jnp.zeros((1, 512), bool)
+
+    @jax.jit
+    def reencode(mel):
+        idx = gen.apply(params, mel, pad, method=PreEncoder.encode)
+        return gen.apply(params, idx, pad, method=PreEncoder.decode)
+
+    rng = np.random.default_rng(0)
+    mk = lambda: (jnp.asarray(rng.standard_normal((1, 512, 128)).astype(np.float32)),)
+    med = _timeit(reencode, [mk() for _ in range(ITERS)], [mk(), mk()])
+    return {
+        "config": "1_single_mel_reencode",
+        "latency_ms": round(med * 1000, 2),
+        "mel_frames_per_sec": round(512 / med, 1),
+    }
+
+
+def bench_wav_to_mel():
+    """Config 2: batch wav->mel extraction, hifispeech spec."""
+    import jax.numpy as jnp
+
+    from mqgan_tpu.core.config import SpectrogramConfig
+    from mqgan_tpu.signal.mel import MelFrontend
+
+    cfg = SpectrogramConfig()
+    fe = MelFrontend(cfg)
+    rng = np.random.default_rng(0)
+    b, s = 8, 44100 * 5
+    mk = lambda: (jnp.asarray(rng.standard_normal((b, s)).astype(np.float32) * 0.3),)
+    med = _timeit(lambda w: fe(w), [mk() for _ in range(ITERS)], [mk(), mk()])
+    frames = b * (s // cfg.hop_length + 1)
+    return {
+        "config": "2_wav_to_mel_batch",
+        "latency_ms": round(med * 1000, 2),
+        "mel_frames_per_sec": round(frames / med, 1),
+    }
+
+
+def _bench_train(cfg, mel_ch, tag):
+    import jax
+    import jax.numpy as jnp
+
+    from mqgan_tpu.train.state import create_train_state
+    from mqgan_tpu.train.step import build_models, make_train_step
+
+    b, t = 16, 256
+    gen, patch, mb = build_models(cfg, jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    mels = [jnp.asarray(rng.standard_normal((b, t, mel_ch)).astype(np.float32))
+            for _ in range(ITERS + 2)]
+    lens = jnp.full((b,), t, jnp.int32)
+    k = jax.random.key(0)
+    state, _, _ = create_train_state(
+        gen_variables=jax.jit(gen.init)(k, mels[0], lens),
+        patch_variables=jax.jit(patch.init)(k, mels[0], lens),
+        multibin_variables=jax.jit(mb.init)(k, mels[0], lens),
+        training_cfg=cfg.training, rng=k,
+    )
+    out = {"config": tag, "batch": b, "frames": t}
+    for phase, train_d in [("warmup", False), ("gan", True)]:
+        step = make_train_step(cfg, train_d=train_d, dtype=jnp.bfloat16,
+                               donate=False)
+        # warm/compile
+        _, m = step(state, mels[-1], lens)
+        float(m["loss_g_total"])
+        ts = []
+        for i in range(ITERS):
+            t0 = time.perf_counter()
+            _, m = step(state, mels[i], lens)
+            float(m["loss_g_total"])
+            ts.append(time.perf_counter() - t0)
+        med = sorted(ts)[len(ts) // 2]
+        out[f"{phase}_ms_per_step"] = round(med * 1000, 1)
+        out[f"{phase}_frames_per_sec"] = round(b * t / med, 1)
+    return out
+
+
+def bench_train_hifispeech():
+    from mqgan_tpu.core.config import TrainConfig
+
+    return _bench_train(TrainConfig.from_dict({}), 128, "3_train_step_hifispeech")
+
+
+def bench_train_hifimusic():
+    from mqgan_tpu.core.config import TrainConfig
+
+    path = "/root/reference/configs/model_config_hifimusic.yaml"
+    if os.path.exists(path):
+        cfg = TrainConfig.from_yaml(path)
+    else:
+        import dataclasses
+
+        from mqgan_tpu.core.config import GeneratorConfig, ModelConfig
+
+        cfg = TrainConfig.from_dict({})
+        cfg = dataclasses.replace(cfg, model=ModelConfig(
+            mel_channels=160,
+            generator=GeneratorConfig(channels=(384, 384, 512, 512),
+                                      refiner_base_channels=96),
+        ))
+    return _bench_train(cfg, cfg.model.mel_channels, "4_train_step_hifimusic")
+
+
+def bench_directory_scale():
+    """Config 5: the bench.py headline (B=64 T=512 reencode throughput)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mqgan_tpu.core.config import TrainConfig
+    from mqgan_tpu.models.preencoder import PreEncoder
+
+    cfg = TrainConfig.from_dict({})
+    b, t = 64, 512
+    gen, params = _gen_and_params(cfg, jnp.bfloat16, b, t)
+    pad = jnp.zeros((b, t), bool)
+
+    @jax.jit
+    def reencode(mel):
+        idx = gen.apply(params, mel, pad, method=PreEncoder.encode)
+        return gen.apply(params, idx, pad, method=PreEncoder.decode)
+
+    rng = np.random.default_rng(0)
+    mk = lambda: (jnp.asarray(rng.standard_normal((b, t, 128)).astype(np.float32)),)
+    med = _timeit(reencode, [mk() for _ in range(ITERS)], [mk(), mk()])
+    return {
+        "config": "5_directory_scale_reencode",
+        "latency_ms": round(med * 1000, 2),
+        "mel_frames_per_sec": round(b * t / med, 1),
+    }
+
+
+BENCHES = {
+    "1": bench_single_mel,
+    "2": bench_wav_to_mel,
+    "3": bench_train_hifispeech,
+    "4": bench_train_hifimusic,
+    "5": bench_directory_scale,
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs", nargs="+", default=list("12345"),
+                   choices=list("12345"))
+    p.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "results.json"))
+    args = p.parse_args()
+
+    import jax
+
+    results = {"device": str(jax.devices()[0]), "results": []}
+    for c in args.configs:
+        r = BENCHES[c]()
+        print(json.dumps(r), flush=True)
+        results["results"].append(r)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
