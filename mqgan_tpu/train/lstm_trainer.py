@@ -159,6 +159,9 @@ def main(argv=None):
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--out_dir", default="logs/musiclstm-run1")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--pretrained", default=None,
+                   help="warm-start weights: torch .pt/.pth (reference "
+                        "format) or an orbax params dir")
     args = p.parse_args(argv)
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -184,6 +187,24 @@ def main(argv=None):
                         jnp.asarray(gen0), jnp.asarray(len0 - 1))["params"]
     n_params = sum(np.prod(np.shape(x)) for x in jax.tree.leaves(params))
     print(f"Total trainable parameters: {n_params / 1e6:.2f} M")
+
+    if args.pretrained:
+        if args.pretrained.endswith((".pt", ".pth")):
+            import torch
+
+            from mqgan_tpu.utils.torch_import import import_music_lstm_params
+
+            ckpt = torch.load(args.pretrained, map_location="cpu",
+                              weights_only=False)
+            sd = ckpt.get("model_state_dict", ckpt)
+            params = jax.tree.map(jnp.asarray, import_music_lstm_params(
+                sd, lstm_layers=args.lstm_layers))
+        else:
+            from mqgan_tpu.utils.checkpoint import load_pretrained_generator
+
+            params = load_pretrained_generator(args.pretrained, (), 0,
+                                               template=params)
+        print(f"Warm-started from {args.pretrained}")
 
     tx = optax.chain(optax.clip_by_global_norm(args.max_grad_norm),
                      optax.adamw(args.lr))

@@ -176,3 +176,36 @@ def validate_against_template(imported: Mapping[str, Any], template: Mapping[str
                 raise ValueError(
                     f"shape mismatch at {p}: imported {np.shape(iv)} vs template {np.shape(tv)}"
                 )
+
+
+def import_music_lstm_params(state_dict: Mapping[str, Any], lstm_layers: int = 2) -> Dict[str, Any]:
+    """Reference MusicLSTM state_dict (train_music_lstm_v2.py:146-202) ->
+    our flax params.
+
+    torch LSTM gate blocks are ordered [i, f, g, o] in weight_ih_l{k}
+    (4H, in) / weight_hh_l{k} (4H, H); flax OptimizedLSTMCell keeps one
+    Dense per gate with the bias on the hidden dense — torch's two biases
+    sum into it (identical cell equations).
+    """
+    sd = to_numpy_state_dict(strip_module_prefix(state_dict))
+    params: Dict[str, Any] = {
+        "tok_emb": {"embedding": sd["tok_emb.weight"]},
+        "genre_emb": {"embedding": sd["genre_emb.weight"]},
+        "proj": _linear(sd, "proj"),
+    }
+    gates = ("i", "f", "g", "o")
+    for k in range(lstm_layers):
+        w_ih = sd[f"lstm.weight_ih_l{k}"]  # (4H, in)
+        w_hh = sd[f"lstm.weight_hh_l{k}"]  # (4H, H)
+        b = sd[f"lstm.bias_ih_l{k}"] + sd[f"lstm.bias_hh_l{k}"]  # (4H,)
+        h = w_hh.shape[1]
+        cell: Dict[str, Any] = {}
+        for gi, g in enumerate(gates):
+            sl = slice(gi * h, (gi + 1) * h)
+            cell[f"i{g}"] = {"kernel": np.ascontiguousarray(w_ih[sl].T)}
+            cell[f"h{g}"] = {
+                "kernel": np.ascontiguousarray(w_hh[sl].T),
+                "bias": b[sl],
+            }
+        params[f"lstm_{k}"] = cell
+    return params

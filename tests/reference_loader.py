@@ -27,10 +27,22 @@ def _install_einx_stub():
     sys.modules["einx"] = einx
 
 
+def _install_wandb_stub():
+    """train_music_lstm_v2.py imports wandb at module level; stub the few
+    entry points so the reference LM model class is importable."""
+    if "wandb" in sys.modules:
+        return
+    wandb = types.ModuleType("wandb")
+    for name in ("init", "log", "watch", "finish", "save"):
+        setattr(wandb, name, lambda *a, **k: None)
+    sys.modules["wandb"] = wandb
+
+
 def load_reference_modules():
     """Returns (preencoder, quantizer, attentions, losses, discriminators)
     reference modules."""
     _install_einx_stub()
+    _install_wandb_stub()
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     import attentions  # noqa: F401

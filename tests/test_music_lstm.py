@@ -102,3 +102,38 @@ def test_lstm_trainer_cli(tmp_path, rng):
     assert losses and all(np.isfinite(l) for l in losses)
     # training reduces loss on this trivial dataset
     assert losses[-1] < losses[0] + 0.5
+
+
+def test_torch_lstm_checkpoint_import(rng):
+    """Reference MusicLSTM weights -> ours: identical logits (full-length
+    sequences so torch's packing is a no-op)."""
+    import torch
+
+    from mqgan_tpu.utils.torch_import import import_music_lstm_params
+    from tests.reference_loader import load_reference_modules
+
+    load_reference_modules()
+    import train_music_lstm_v2 as ref_lm
+
+    torch.manual_seed(0)
+    tmodel = ref_lm.MusicLSTM(vocab_size=40, num_genres=3, emb_dim=8,
+                              lstm_hid=12, lstm_layers=2, pad_id=0, drop=0.0)
+    tmodel.eval()
+
+    params = import_music_lstm_params(tmodel.state_dict(), lstm_layers=2)
+    ours = MusicLSTM(vocab_size=40, num_genres=3, emb_dim=8, lstm_hid=12,
+                     lstm_layers=2, pad_id=0, dropout=0.0)
+
+    tokens = rng.integers(1, 40, (3, 9))
+    genres = np.array([0, 2, 1])
+    lengths = np.array([9, 9, 9])
+
+    with torch.no_grad():
+        t_logits = tmodel(torch.from_numpy(tokens),
+                          torch.from_numpy(genres),
+                          torch.from_numpy(lengths))
+
+    j_logits = ours.apply({"params": params}, jnp.asarray(tokens),
+                          jnp.asarray(genres), jnp.asarray(lengths))
+    np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
+                               atol=2e-5, rtol=1e-4)
