@@ -176,6 +176,7 @@ class DevicePrefetcher:
         self._put = put_fn
         self._it = it
         self._done = object()
+        self._error: BaseException | None = None
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -183,6 +184,8 @@ class DevicePrefetcher:
         try:
             for batch in self._it:
                 self._q.put((self._put(batch.mel), self._put(batch.lengths), batch.filenames))
+        except BaseException as e:  # re-raised on the consumer side
+            self._error = e
         finally:
             self._q.put(self._done)
 
@@ -190,5 +193,7 @@ class DevicePrefetcher:
         while True:
             item = self._q.get()
             if item is self._done:
+                if self._error is not None:
+                    raise self._error
                 return
             yield item
