@@ -92,9 +92,11 @@ class Trainer:
         lengths = jnp.full((cfg.data.batch_size,), t, jnp.int32)
         k = jax.random.key(cfg.training.seed)
         kg, kp, km, kr = jax.random.split(k, 4)
-        gv = gen.init(kg, mel, lengths)
-        pv = patch.init(kp, mel, lengths)
-        mv = mb.init(km, mel, lengths)
+        # jitted init: unjitted tracing executes op-by-op on the device,
+        # which takes minutes for the flagship model on remote backends
+        gv = jax.jit(gen.init)(kg, mel, lengths)
+        pv = jax.jit(patch.init)(kp, mel, lengths)
+        mv = jax.jit(mb.init)(km, mel, lengths)
         state, _, _ = create_train_state(
             gen_variables=gv, patch_variables=pv, multibin_variables=mv,
             training_cfg=cfg.training, rng=kr,
