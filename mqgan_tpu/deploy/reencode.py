@@ -26,10 +26,16 @@ from mqgan_tpu.utils.npy import load_npy
 
 class CheckpointReencoder:
     """In-process encode/decode from a raw checkpoint (no export), the
-    reencode_spectrograms_from_checkpoint.py equivalent."""
+    reencode_spectrograms_from_checkpoint.py equivalent.
+
+    data_parallel=True shards batches over all local devices (params
+    replicated); XLA GSPMD handles the rest — directory-scale re-encode
+    scales linearly over a chip mesh. Batches are repeat-padded up to a
+    multiple of the mesh size."""
 
     def __init__(self, config_path: str, checkpoint_path: str,
-                 buckets=(128, 256, 512, 1024), dtype=None):
+                 buckets=(128, 256, 512, 1024), dtype=None,
+                 data_parallel: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -68,6 +74,15 @@ class CheckpointReencoder:
         self._encode_fn = _encode
         self._decode_fn = _decode
 
+        self._n_dev = 1
+        self._sharding = None
+        if data_parallel and jax.device_count() > 1:
+            from mqgan_tpu.parallel.mesh import batch_sharding, make_mesh
+
+            mesh = make_mesh()
+            self._n_dev = mesh.shape["data"]
+            self._sharding = batch_sharding(mesh)
+
     def _prepare(self, arr, lengths, pad_value=0.0):
         b, t = arr.shape[0], arr.shape[1]
         lengths = np.asarray(lengths, np.int32)
@@ -76,21 +91,36 @@ class CheckpointReencoder:
             pad_shape = (b, tb - t) + arr.shape[2:]
             arr = np.concatenate([arr, np.full(pad_shape, pad_value, arr.dtype)], 1)
         pad_mask = np.arange(tb)[None, :] >= lengths[:, None]
-        return arr, pad_mask, t
+        # repeat-pad the batch to a multiple of the mesh size
+        b_pad = -(-b // self._n_dev) * self._n_dev
+        if b_pad != b:
+            reps = [i % b for i in range(b_pad - b)]
+            arr = np.concatenate([arr, arr[reps]], 0)
+            pad_mask = np.concatenate([pad_mask, pad_mask[reps]], 0)
+        return arr, pad_mask, t, b
+
+    def _put(self, *arrays):
+        if self._sharding is None:
+            return arrays
+        import jax
+
+        return tuple(jax.device_put(a, self._sharding) for a in arrays)
 
     def encode(self, spec, lengths=None):
         spec = np.asarray(spec, np.float32)
         if lengths is None:
             lengths = np.full((spec.shape[0],), spec.shape[1], np.int32)
-        spec, pad_mask, t = self._prepare(spec, lengths)
-        return np.asarray(self._encode_fn(spec, pad_mask))[:, :t]
+        spec, pad_mask, t, b = self._prepare(spec, lengths)
+        spec, pad_mask = self._put(spec, pad_mask)
+        return np.asarray(self._encode_fn(spec, pad_mask))[:b, :t]
 
     def decode(self, indices, lengths=None):
         indices = np.asarray(indices, np.int32)
         if lengths is None:
             lengths = np.full((indices.shape[0],), indices.shape[1], np.int32)
-        indices, pad_mask, t = self._prepare(indices, lengths, 0)
-        return np.asarray(self._decode_fn(indices, pad_mask))[:, :t]
+        indices, pad_mask, t, b = self._prepare(indices, lengths, 0)
+        indices, pad_mask = self._put(indices, pad_mask)
+        return np.asarray(self._decode_fn(indices, pad_mask))[:b, :t]
 
     def reencode(self, spec, lengths=None):
         return self.decode(self.encode(spec, lengths), lengths)
@@ -183,6 +213,9 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--save_tokens", action="store_true")
     p.add_argument("--tokens_dir", default=None)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard batches over all local devices (checkpoint "
+                        "source only)")
     args = p.parse_args(argv)
 
     if args.model_dir:
@@ -190,7 +223,8 @@ def main(argv=None):
 
         codec = ExportedPreEncoder(args.model_dir)
     elif args.checkpoint and args.config:
-        codec = CheckpointReencoder(args.config, args.checkpoint)
+        codec = CheckpointReencoder(args.config, args.checkpoint,
+                                    data_parallel=args.data_parallel)
     else:
         p.error("provide --model_dir, or --checkpoint with --config")
 

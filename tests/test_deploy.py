@@ -198,3 +198,42 @@ def test_vocoder_wrapper_roundtrip(tmp_path, rng):
     wav2 = fe2(np.asarray(mel))
     np.testing.assert_allclose(np.asarray(wav)[0, 0], np.asarray(wav2)[0, 0],
                                atol=1e-4)
+
+
+def test_reencode_data_parallel(tmp_path, small_gen, rng):
+    """Data-parallel CheckpointReencoder over the 8-device CPU mesh must
+    match the single-device result, including non-multiple batch sizes."""
+    import yaml
+
+    from mqgan_tpu.deploy.reencode import CheckpointReencoder
+    from mqgan_tpu.utils.checkpoint import save_generator_only
+
+    gen, params = small_gen
+    ckpt = save_generator_only(str(tmp_path), params["params"], "gen_dp")
+    cfg = {
+        "model": {
+            "mel_channels": MEL,
+            "generator": {
+                "channels": [8, 12], "kernel_sizes": [3], "dropout": 0.0,
+                "fsq_levels": [8, 5, 5, 5], "refiner_base_channels": 4,
+                "refiner_depth": 2,
+            },
+        },
+        "data": {"crop_len": [32]},
+    }
+    cfg_path = tmp_path / "cfg_dp.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    single = CheckpointReencoder(str(cfg_path), ckpt, buckets=(32, 64))
+    dp = CheckpointReencoder(str(cfg_path), ckpt, buckets=(32, 64),
+                             data_parallel=True)
+    assert dp._n_dev == 8
+
+    spec = rng.standard_normal((5, 40, MEL)).astype(np.float32)  # 5 % 8 != 0
+    idx_s = single.encode(spec)
+    idx_d = dp.encode(spec)
+    assert idx_d.shape == (5, 40)
+    np.testing.assert_array_equal(idx_s, idx_d)
+    out_s = single.decode(idx_s)
+    out_d = dp.decode(idx_d)
+    np.testing.assert_allclose(out_s, out_d, atol=1e-5)
