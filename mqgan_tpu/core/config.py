@@ -94,6 +94,10 @@ class GeneratorConfig:
     kernel_sizes: tuple = (3, 3, 5, 7)
     dropout: float = 0.1
     fsq_levels: tuple = (8, 5, 5, 5)
+    # training-time FSQ noise dropout (reference quantizer.py:64,142-162;
+    # defaults off like the reference PreEncoder usage) — a codebook-collapse
+    # mitigation: per-sample skip-quantize / uniform-offset noise
+    fsq_noise_dropout: float = 0.0
     refiner_base_channels: int = 64
     refiner_depth: int = 3
     refiner_hidden_proj_divisor: int = 8
