@@ -55,7 +55,7 @@ class PreEncoder(nn.Module):
             refiner_base_channels=cfg.refiner_base_channels,
             refiner_depth=cfg.refiner_depth,
             refiner_hidden_proj_divisor=cfg.refiner_hidden_proj_divisor,
-            fsq_noise_dropout=getattr(cfg, "fsq_noise_dropout", 0.0),
+            fsq_noise_dropout=cfg.fsq_noise_dropout,
             dtype=dtype,
         )
 

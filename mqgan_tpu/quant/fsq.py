@@ -229,7 +229,15 @@ class FSQ(nn.Module):
         if training and spec.noise_dropout > 0.0:
             rng = self.make_rng("fsq_noise")
         codes = quantize(z32, spec, training=training, rng=rng)
-        indices = codes_to_indices(jax.lax.stop_gradient(codes), spec)
+        # Indices always come from the CLEAN grid quantization: with noise
+        # dropout active, packing the noisy codes would produce arbitrary
+        # out-of-range ints (the reference has this quirk at
+        # quantizer.py:242-249, but our indices feed metrics/token dumps).
+        if rng is not None:
+            clean = quantize(z32, spec, training=False)
+        else:
+            clean = codes
+        indices = codes_to_indices(jax.lax.stop_gradient(clean), spec)
         # (B, N, C_books)
 
         codes = codes.reshape(b, n, self.effective_codebook_dim).astype(orig_dtype)

@@ -125,3 +125,24 @@ def test_fsq_module(rng):
     assert codes_b.dtype == jnp.bfloat16
     np.testing.assert_array_equal(np.asarray(idx_b), np.asarray(
         codes_to_indices(quantize(zb.astype(jnp.float32), SPEC), SPEC)))
+
+
+def test_noise_dropout_indices_stay_clean(rng):
+    """With noise dropout active, the module's indices must come from the
+    clean grid quantization (valid range, matching eval) even though the
+    returned codes are noisy."""
+    mod = FSQ(levels=(8, 5, 5, 5), noise_dropout=1.0)
+    z = jnp.asarray(rng.standard_normal((4, 10, 4)).astype(np.float32) * 2)
+    params = mod.init(jax.random.key(0), z)
+    codes, idx = mod.apply(
+        params, z, True, rngs={"fsq_noise": jax.random.key(1)}
+    )
+    assert int(jnp.min(idx)) >= 0 and int(jnp.max(idx)) < 1000
+    # indices equal the eval-mode (clean) indices
+    _, idx_eval = mod.apply(params, z)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_eval))
+    # but the codes themselves are noisy (off-grid)
+    half = np.asarray(SPEC.half_width)
+    on_grid = np.allclose(np.asarray(codes) * half,
+                          np.round(np.asarray(codes) * half), atol=1e-5)
+    assert not on_grid
