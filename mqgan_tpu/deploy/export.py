@@ -70,6 +70,13 @@ def export_preencoder(
     def decode_fn(indices, pad_mask):
         return gen.apply(params, indices, pad_mask, method=PreEncoder.decode)
 
+    def reencode_fn(mel, pad_mask):
+        # fused single-program roundtrip: ~2x faster than separate
+        # encode/decode dispatches (no host round-trip of the tokens)
+        idx = gen.apply(params, mel, pad_mask, method=PreEncoder.encode)
+        out = gen.apply(params, idx, pad_mask, method=PreEncoder.decode)
+        return idx, out
+
     manifest = {
         "mel_channels": mel_ch,
         "fsq_levels": list(gen.fsq_levels),
@@ -90,12 +97,21 @@ def export_preencoder(
             jax.ShapeDtypeStruct((b, t), jnp.int32),
             jax.ShapeDtypeStruct((b, t), jnp.bool_),
         )
+        ree = jexport.export(jax.jit(reencode_fn), platforms=platforms)(
+            jax.ShapeDtypeStruct((b, t, mel_ch), jnp.float32),
+            jax.ShapeDtypeStruct((b, t), jnp.bool_),
+        )
         enc_name, dec_name = f"encode_T{t}.shlo", f"decode_T{t}.shlo"
+        ree_name = f"reencode_T{t}.shlo"
         with open(os.path.join(out_dir, enc_name), "wb") as f:
             f.write(enc.serialize())
         with open(os.path.join(out_dir, dec_name), "wb") as f:
             f.write(dec.serialize())
-        manifest["files"][str(t)] = {"encode": enc_name, "decode": dec_name}
+        with open(os.path.join(out_dir, ree_name), "wb") as f:
+            f.write(ree.serialize())
+        manifest["files"][str(t)] = {
+            "encode": enc_name, "decode": dec_name, "reencode": ree_name,
+        }
 
     if config_dict is not None:
         with open(os.path.join(out_dir, "model_config.json"), "w") as f:

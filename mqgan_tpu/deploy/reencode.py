@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import argparse
 import os
+import queue
+import threading
 from typing import List
 
 import numpy as np
@@ -123,7 +125,9 @@ class CheckpointReencoder:
         return np.asarray(self._decode_fn(indices, pad_mask))[:b, :t]
 
     def reencode(self, spec, lengths=None):
-        return self.decode(self.encode(spec, lengths), lengths)
+        """(B, T, mel) -> (tokens, refined mel)."""
+        idx = self.encode(spec, lengths)
+        return idx, self.decode(idx, lengths)
 
 
 def reencode_spectrograms(
@@ -147,12 +151,28 @@ def reencode_spectrograms(
     max_chunk = max_chunk or max(codec.buckets)
     processed = failed = 0
 
-    for start in range(0, len(files), batch_size):
-        batch_files = files[start : start + batch_size]
+    # read-ahead: load the next batch's files while the device computes
+    def _loader(q):
+        for start in range(0, len(files), batch_size):
+            batch_files = files[start : start + batch_size]
+            try:
+                mels = [np.asarray(load_npy(p), np.float32) for p in batch_files]
+                q.put((batch_files, mels, None))
+            except Exception as e:  # noqa: BLE001
+                q.put((batch_files, None, e))
+        q.put(None)
+
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+    threading.Thread(target=_loader, args=(q,), daemon=True).start()
+
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        batch_files, mels, load_err = item
         try:
-            mels: List[np.ndarray] = []
-            for path in batch_files:
-                mels.append(np.asarray(load_npy(path), np.float32))
+            if load_err is not None:
+                raise load_err
             t_max = min(max(m.shape[0] for m in mels), max_chunk)
 
             out_specs = [
@@ -175,8 +195,7 @@ def reencode_spectrograms(
                 if (lens == 0).all():
                     break
                 safe_lens = np.maximum(lens, 1)
-                tokens = codec.encode(chunk, safe_lens)
-                recon = codec.decode(tokens, safe_lens)
+                tokens, recon = codec.reencode(chunk, safe_lens)
                 for i in range(len(mels)):
                     n = lens[i]
                     if n > 0:

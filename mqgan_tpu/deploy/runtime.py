@@ -37,12 +37,17 @@ class ExportedPreEncoder:
 
         self._enc = {}
         self._dec = {}
+        self._ree = {}
         for t_str, files in self.manifest["files"].items():
             t = int(t_str)
             with open(os.path.join(model_dir, files["encode"]), "rb") as f:
                 self._enc[t] = jexport.deserialize(f.read())
             with open(os.path.join(model_dir, files["decode"]), "rb") as f:
                 self._dec[t] = jexport.deserialize(f.read())
+            if "reencode" in files:  # artifacts exported before the fused
+                # program existed fall back to encode->decode
+                with open(os.path.join(model_dir, files["reencode"]), "rb") as f:
+                    self._ree[t] = jexport.deserialize(f.read())
 
         cfg_path = os.path.join(model_dir, "model_config.json")
         self.config = None
@@ -109,5 +114,13 @@ class ExportedPreEncoder:
         out = self._dec[tb].call(indices, pad_mask)
         return np.asarray(out)[:, :t]
 
-    def reencode(self, spec: np.ndarray, lengths=None) -> np.ndarray:
-        return self.decode(self.encode(spec, lengths), lengths)
+    def reencode(self, spec: np.ndarray, lengths=None):
+        """(B, T, mel) -> (tokens (B, T), refined mel (B, T, mel)). Uses the
+        fused single-program artifact when present (~2x fewer dispatches)."""
+        spec, pad_mask, t, tb = self._prepare(np.asarray(spec, np.float32), lengths)
+        if tb in self._ree:
+            idx, out = self._ree[tb].call(spec, pad_mask)
+            return np.asarray(idx)[:, :t], np.asarray(out)[:, :t]
+        idx = np.asarray(self._enc[tb].call(spec, pad_mask))
+        out = self._dec[tb].call(idx, pad_mask)
+        return idx[:, :t], np.asarray(out)[:, :t]

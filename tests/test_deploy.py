@@ -148,7 +148,8 @@ def test_reencode_from_checkpoint_path(tmp_path, small_gen, rng):
 
     codec = CheckpointReencoder(str(cfg_path), ckpt, buckets=(32, 64))
     spec = rng.standard_normal((2, 40, MEL)).astype(np.float32)
-    out = codec.reencode(spec)
+    toks, out = codec.reencode(spec)
+    assert toks.shape == (2, 40)
     assert out.shape == (2, 40, MEL)
     assert np.isfinite(out).all()
 
@@ -237,3 +238,18 @@ def test_reencode_data_parallel(tmp_path, small_gen, rng):
     out_s = single.decode(idx_s)
     out_d = dp.decode(idx_d)
     np.testing.assert_allclose(out_s, out_d, atol=1e-5)
+
+
+def test_fused_reencode_artifact(export_dir, rng):
+    """The fused reencode program matches separate encode->decode exactly."""
+    from mqgan_tpu.deploy.runtime import ExportedPreEncoder
+
+    rt = ExportedPreEncoder(export_dir)
+    assert rt._ree, "fused reencode artifacts missing from export"
+    spec = rng.standard_normal((2, 40, MEL)).astype(np.float32)
+    lengths = np.array([40, 33], np.int32)
+    idx_f, out_f = rt.reencode(spec, lengths)
+    idx_s = rt.encode(spec, lengths)
+    out_s = rt.decode(idx_s, lengths)
+    np.testing.assert_array_equal(idx_f, idx_s)
+    np.testing.assert_allclose(out_f, out_s, atol=1e-5)
