@@ -7,9 +7,9 @@ clips outside [1 s, 15 s], extract torchaudio-parity log-mels
 (signal/mel.py), save `{name}_mel.npy`; fan work out over
 `multiprocessing.cpu_count()` worker processes with static chunking.
 
-TPU-accelerated variant: `--device` batches framing+FFT+mel on the
-accelerator instead of per-file host math (the jitted path is shared with
-training parity tests).
+The mel front end (signal/mel.py) is jitted and runs on whatever device
+JAX selects; with --num_workers 1 the single process can use the
+accelerator directly, while multiprocess fan-out keeps workers on CPU.
 
 Usage: python -m mqgan_tpu.signal.convert --config spec_config.yaml
        [--input_folder ...] [--output_folder ...]
