@@ -235,6 +235,9 @@ def main(argv=None):
     p.add_argument("--data_parallel", action="store_true",
                    help="shard batches over all local devices (checkpoint "
                         "source only)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute for the checkpoint source (exported "
+                        "artifacts already bake their dtype)")
     args = p.parse_args(argv)
 
     if args.model_dir:
@@ -242,7 +245,10 @@ def main(argv=None):
 
         codec = ExportedPreEncoder(args.model_dir)
     elif args.checkpoint and args.config:
+        import jax.numpy as jnp
+
         codec = CheckpointReencoder(args.config, args.checkpoint,
+                                    dtype=jnp.bfloat16 if args.bf16 else None,
                                     data_parallel=args.data_parallel)
     else:
         p.error("provide --model_dir, or --checkpoint with --config")
