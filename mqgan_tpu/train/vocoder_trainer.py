@@ -3,9 +3,10 @@
 Trains the in-framework iSTFTNet-style generator (models/istft_vocoder.py)
 with the multi-resolution STFT objective + waveform L1, giving users a
 complete self-contained mel->audio chain (the reference requires external
-pretrained TorchScript weights). Adversarial waveform discriminators are a
-planned extension; spectral pretraining alone already vocodes intelligibly
-and is the standard warm-start for GAN fine-tuning.
+pretrained TorchScript weights). With --adversarial, HiFi-GAN-style MPD/MSD
+waveform discriminators (models/wave_discriminators.py) join after
+--adv_start_step with LSGAN + feature-matching objectives — spectral
+pretraining first is the standard warm-start.
 
 Constraint: prod(upsample_rates) * istft_hop must equal the mel hop length.
 
@@ -96,6 +97,15 @@ def main(argv=None):
     p.add_argument("--istft_n_fft", type=int, default=16)
     p.add_argument("--upsample_initial_channel", type=int, default=512)
     p.add_argument("--wav_l1_lambda", type=float, default=0.0)
+    p.add_argument("--adversarial", action="store_true")
+    p.add_argument("--adv_start_step", type=int, default=0)
+    p.add_argument("--adv_lambda", type=float, default=1.0)
+    p.add_argument("--fm_lambda", type=float, default=2.0)
+    p.add_argument("--stft_lambda", type=float, default=45.0,
+                   help="MR-STFT weight when adversarial terms are active")
+    p.add_argument("--d_lr", type=float, default=2e-4)
+    p.add_argument("--mpd_periods", type=int, nargs="+", default=[2, 3, 5, 7, 11])
+    p.add_argument("--msd_scales", type=int, default=3)
     args = p.parse_args(argv)
 
     spec_cfg = SpecConfig.from_yaml(args.spec_config)
@@ -151,12 +161,98 @@ def main(argv=None):
         keep = lambda new, old: jnp.where(ok, new, old)
         return jax.tree.map(keep, p2, p), jax.tree.map(keep, o2, o), loss
 
+    # ---- optional adversarial stage --------------------------------
+    adv_step = None
+    d_params = d_opt = None
+    if args.adversarial:
+        from mqgan_tpu.models.wave_discriminators import (
+            MultiPeriodDiscriminator,
+            MultiScaleDiscriminator,
+            adversarial_d_loss,
+            adversarial_g_loss,
+            feature_matching_loss,
+        )
+
+        mpd = MultiPeriodDiscriminator(periods=tuple(args.mpd_periods))
+        msd = MultiScaleDiscriminator(n_scales=args.msd_scales)
+        wav_ex = jnp.zeros((args.batch_size, target_len))
+        d_params = {
+            "mpd": jax.jit(mpd.init)(jax.random.key(1), wav_ex)["params"],
+            "msd": jax.jit(msd.init)(jax.random.key(2), wav_ex)["params"],
+        }
+        d_tx = optax.adamw(args.d_lr)
+        d_opt = d_tx.init(d_params)
+
+        def synth(p, mel):
+            spec, phase = gen.apply(p, mel)
+            return istft(spec, phase, n_fft, istft_hop, n_fft)[:, 0, :]
+
+        @jax.jit
+        def adv_step_fn(p, o, dp, do, mel, wav):
+            # crop both to the common static length (the iSTFT output is a
+            # few samples shorter than segment_frames * hop)
+            n_common = min(
+                n_fft + istft_hop * (mel.shape[2] * gen.total_upsample - 1)
+                - 2 * (n_fft // 2),
+                target_len,
+            )
+            wav = wav[:, :n_common]
+            fake = jax.lax.stop_gradient(synth(p, mel))[:, :n_common]
+
+            # D update
+            def d_loss_fn(dp):
+                ro, _ = mpd.apply({"params": dp["mpd"]}, wav)
+                fo, _ = mpd.apply({"params": dp["mpd"]}, fake)
+                ro2, _ = msd.apply({"params": dp["msd"]}, wav)
+                fo2, _ = msd.apply({"params": dp["msd"]}, fake)
+                return adversarial_d_loss([ro, ro2], [fo, fo2])
+
+            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(dp)
+            d_upd, do2 = d_tx.update(d_grads, do, dp)
+            dp2 = optax.apply_updates(dp, d_upd)
+
+            # G update vs updated D
+            def g_loss_fn(p):
+                pred = synth(p, mel)[:, :n_common]
+                _, rf = mpd.apply({"params": dp2["mpd"]}, wav)
+                _, rf2 = msd.apply({"params": dp2["msd"]}, wav)
+                fo, ff = mpd.apply({"params": dp2["mpd"]}, pred)
+                fo2, ff2 = msd.apply({"params": dp2["msd"]}, pred)
+                stft_l = multi_resolution_stft_loss(pred, wav)
+                g_adv = adversarial_g_loss([fo, fo2])
+                fm = feature_matching_loss([*rf, *rf2], [*ff, *ff2])
+                total = (args.stft_lambda * stft_l + args.adv_lambda * g_adv
+                         + args.fm_lambda * fm)
+                return total, (stft_l, g_adv, fm)
+
+            (g_total, (stft_l, g_adv, fm)), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(p)
+            ok = jnp.isfinite(g_total)
+            g_grads = jax.tree.map(
+                lambda g: jnp.where(ok, g, jnp.zeros_like(g)), g_grads)
+            upd, o2 = tx.update(g_grads, o, p)
+            p2 = optax.apply_updates(p, upd)
+            keep = lambda new, old: jnp.where(ok, new, old)
+            return (jax.tree.map(keep, p2, p), jax.tree.map(keep, o2, o),
+                    dp2, do2,
+                    {"g_total": g_total, "stft": stft_l, "adv": g_adv,
+                     "fm": fm, "d_loss": d_loss})
+
+        adv_step = adv_step_fn
+
     t0 = time.time()
     for i in range(1, args.steps + 1):
         mel, wav = sampler.batch(args.batch_size)
-        params, opt, loss = step(params, opt, mel, wav)
+        if adv_step is not None and i > args.adv_start_step:
+            params, opt, d_params, d_opt, m = adv_step(
+                params, opt, d_params, d_opt, mel, wav)
+            loss = m["g_total"]
+            extra = {f"vocoder/{k}": float(v) for k, v in m.items()}
+        else:
+            params, opt, loss = step(params, opt, mel, wav)
+            extra = {}
         if i % args.log_every == 0 or i == 1:
-            logger.log({"vocoder/loss": float(loss),
+            logger.log({"vocoder/loss": float(loss), **extra,
                         "steps_per_sec": i / (time.time() - t0)}, step=i)
             print(f"step {i}: loss {float(loss):.4f}")
         if i % args.save_every == 0 or i == args.steps:

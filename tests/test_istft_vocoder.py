@@ -153,3 +153,53 @@ spectrogram:
     assert losses and all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]  # learning
     assert any(p.startswith("vocoder_step_") for p in os.listdir(out))
+
+
+@pytest.mark.slow
+def test_vocoder_trainer_adversarial(tmp_path, rng):
+    """Adversarial stage: MPD/MSD join after adv_start_step; losses finite
+    and logged."""
+    import json
+    import wave as wave_mod
+
+    from mqgan_tpu.train.vocoder_trainer import main as voc_main
+
+    sr = 16000
+    wav_dir = tmp_path / "wavs"
+    wav_dir.mkdir()
+    t = np.arange(sr) / sr
+    x = 0.3 * np.sin(2 * np.pi * 330 * t)
+    with wave_mod.open(str(wav_dir / "c.wav"), "wb") as w:
+        w.setnchannels(1); w.setsampwidth(2); w.setframerate(sr)
+        w.writeframes((x * 32767).astype(np.int16).tobytes())
+
+    spec = tmp_path / "spec.yaml"
+    spec.write_text(f"""
+io: {{input_folder: x, output_folder: y, audio_extensions: [".wav"]}}
+spectrogram:
+  sampling_rate: {sr}
+  filter_length: 256
+  hop_length: 64
+  win_length: 256
+  n_mel_channels: {N_MELS}
+  mel_fmin: 0.0
+  mel_fmax: 8000.0
+""")
+    out = tmp_path / "run_adv"
+    voc_main([
+        "--wav_dir", str(wav_dir), "--spec_config", str(spec),
+        "--out_dir", str(out), "--steps", "6", "--batch_size", "2",
+        "--segment_frames", "16", "--upsample_rates", "4", "4",
+        "--istft_n_fft", "8", "--upsample_initial_channel", "16",
+        "--log_every", "1", "--save_every", "6",
+        "--adversarial", "--adv_start_step", "3",
+        "--mpd_periods", "2", "3", "--msd_scales", "2",
+    ])
+    with open(out / "vocoder_metrics.jsonl") as f:
+        recs = [json.loads(l) for l in f]
+    adv_recs = [r for r in recs if "vocoder/d_loss" in r]
+    assert adv_recs, "adversarial stage never engaged"
+    for r in adv_recs:
+        assert np.isfinite(r["vocoder/d_loss"])
+        assert np.isfinite(r["vocoder/adv"])
+        assert np.isfinite(r["vocoder/fm"])
