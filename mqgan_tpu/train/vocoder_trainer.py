@@ -106,6 +106,9 @@ def main(argv=None):
     p.add_argument("--d_lr", type=float, default=2e-4)
     p.add_argument("--mpd_periods", type=int, nargs="+", default=[2, 3, 5, 7, 11])
     p.add_argument("--msd_scales", type=int, default=3)
+    p.add_argument("--export_dir", default=None,
+                   help="after training, export the deployable ISTFTNetFE "
+                        "artifact (signal/vocoder.py load_ts format) here")
     args = p.parse_args(argv)
 
     spec_cfg = SpecConfig.from_yaml(args.spec_config)
@@ -261,6 +264,16 @@ def main(argv=None):
             path = save_generator_only(args.out_dir, jax.device_get(params),
                                        f"vocoder_step_{i}")
             print(f"saved {path}")
+
+    if args.export_dir:
+        from mqgan_tpu.models.istft_vocoder import build_vocoder_fe
+
+        fe = build_vocoder_fe(gen, params, istft_hop=istft_hop)
+        fe.export_ts(args.export_dir,
+                     sampling_rate=spec_cfg.spectrogram.sampling_rate,
+                     mel_channels=spec_cfg.spectrogram.n_mel_channels,
+                     example_frames=args.segment_frames)
+        print(f"exported deployable vocoder to {args.export_dir}")
 
     logger.close()
     print("Vocoder training finished.")
