@@ -47,14 +47,17 @@ class ISTFTNetFE:
     # -- artifact round-trip (reference export_ts/load_ts, :39-79) --------
     def export_ts(self, out_dir: str, sampling_rate: int, mel_channels: int = 160,
                   example_frames: int = 600):
+        """example_frames is kept for reference-API compatibility; the
+        artifact is batch- AND length-polymorphic (symbolic b, t)."""
+        del example_frames
         import jax
         import jax.numpy as jnp
         from jax import export as jexport
 
         os.makedirs(out_dir, exist_ok=True)
-        b = jexport.symbolic_shape("b")[0]
+        b, t = jexport.symbolic_shape("b, t")
         exp = jexport.export(jax.jit(self.gen), platforms=("cpu", "tpu"))(
-            jax.ShapeDtypeStruct((b, mel_channels, example_frames), jnp.float32)
+            jax.ShapeDtypeStruct((b, mel_channels, t), jnp.float32)
         )
         with open(os.path.join(out_dir, "istft_gen.shlo"), "wb") as f:
             f.write(exp.serialize())

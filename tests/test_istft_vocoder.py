@@ -138,12 +138,14 @@ spectrogram:
   mel_fmax: 8000.0
 """)
     out = tmp_path / "run"
+    export_dir = tmp_path / "voc_export"
     voc_main([
         "--wav_dir", str(wav_dir), "--spec_config", str(spec),
         "--out_dir", str(out), "--steps", "12", "--batch_size", "2",
         "--segment_frames", "16", "--upsample_rates", "4", "4",
         "--istft_n_fft", "8", "--upsample_initial_channel", "16",
         "--log_every", "4", "--save_every", "12",
+        "--export_dir", str(export_dir),
     ])
     import json
 
@@ -153,6 +155,16 @@ spectrogram:
     assert losses and all(np.isfinite(l) for l in losses)
     assert losses[-1] < losses[0]  # learning
     assert any(p.startswith("vocoder_step_") for p in os.listdir(out))
+
+    # the exported artifact vocodes arbitrary lengths (symbolic b, t)
+    from mqgan_tpu.signal.vocoder import ISTFTNetFE
+
+    fe = ISTFTNetFE.load_ts(str(export_dir))
+    assert fe.sampling_rate == sr
+    for t_frames in (10, 23):
+        wav = fe(rng.standard_normal((1, N_MELS, t_frames)).astype(np.float32))
+        assert wav.shape[0:2] == (1, 1)
+        assert np.isfinite(np.asarray(wav)).all()
 
 
 @pytest.mark.slow
