@@ -81,3 +81,28 @@ def test_entry_compiles():
     jax.block_until_ready(out)
     assert out[0].shape == (8, 256, 128)
     assert out[2].shape == (8, 256)
+
+
+def test_multihost_single_process_paths(rng):
+    """Single-host identity behavior of the multi-host utilities."""
+    from mqgan_tpu.parallel.multihost import (
+        host_info,
+        initialize,
+        make_global_batch,
+        shard_files_for_host,
+    )
+
+    initialize()  # no-op single-host
+    idx, count = host_info()
+    assert idx == 0 and count == 1
+
+    files = [f"f{i}" for i in range(10)]
+    assert shard_files_for_host(files) == files
+
+    mesh = make_mesh()
+    batch = rng.standard_normal((16, 8)).astype(np.float32)
+    arr = make_global_batch(mesh, batch)
+    assert arr.shape == (16, 8)
+    np.testing.assert_allclose(np.asarray(arr), batch)
+    # sharded over the data axis
+    assert len(arr.sharding.device_set) == 8
