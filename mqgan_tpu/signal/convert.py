@@ -39,9 +39,18 @@ class MelSpectrogramConverter:
     @property
     def frontend(self):
         if self._frontend is None:
+            import jax
+
             from mqgan_tpu.signal.mel import MelFrontend
 
-            self._frontend = MelFrontend(self.config.spectrogram)
+            # host-side tool: pin the CPU backend — every file has a
+            # distinct length, which would mean one accelerator compile
+            # per file (the reference's converter is CPU torchaudio too)
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                cpu = None
+            self._frontend = MelFrontend(self.config.spectrogram, device=cpu)
         return self._frontend
 
     def process_file(self, file_path: str, output_dir: str) -> bool:

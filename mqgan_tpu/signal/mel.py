@@ -71,6 +71,8 @@ def mel_filterbank(cfg: SpectrogramConfig) -> np.ndarray:
 
 @partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length"))
 def _log_mel_impl(wav, fbank, n_fft, hop_length, win_length):
+    # computation follows input placement (committed arrays), so the
+    # front end runs on whatever device the caller put wav/fbank on
     frames = frame_signal(wav.astype(jnp.float32), n_fft, hop_length, center=True)
     w = _padded_window(win_length, n_fft)
     spec = jnp.fft.rfft(frames * w, axis=-1)  # (B, T, F) complex
@@ -87,14 +89,21 @@ class MelFrontend:
     (frames, n_mels).
     """
 
-    def __init__(self, cfg: SpectrogramConfig):
+    def __init__(self, cfg: SpectrogramConfig, device=None):
+        """device: optional jax.Device to pin the computation to (e.g.
+        jax.devices('cpu')[0] for host-side batch tools — per-file wav
+        lengths would otherwise trigger one accelerator compile each)."""
         self.cfg = cfg
-        self._fbank = jnp.asarray(mel_filterbank(cfg))
+        self.device = device
+        fbank = jnp.asarray(mel_filterbank(cfg))
+        self._fbank = jax.device_put(fbank, device) if device else fbank
 
     def __call__(self, wav: jax.Array) -> jax.Array:
         squeeze = wav.ndim == 1
         if squeeze:
             wav = wav[None]
+        if self.device is not None:
+            wav = jax.device_put(jnp.asarray(wav), self.device)
         out = _log_mel_impl(
             wav,
             self._fbank,
