@@ -81,7 +81,14 @@ def make_train_step(
     n_bins = cfg.model.discriminator_multibin.n_bins
 
     recon_all = partial(masked_mel_loss, loss_type="mse", group_size=1)
-    recon_group = partial(masked_mel_loss, loss_type="mse", group_size=16)
+    # reference uses group_size=16 (train.py:218) and asserts divisibility;
+    # for mel counts not divisible by 16, fall back to the largest common
+    # divisor so non-reference configs train instead of crashing
+    import math
+
+    group = 16 if cfg.model.mel_channels % 16 == 0 else math.gcd(
+        cfg.model.mel_channels, 16)
+    recon_group = partial(masked_mel_loss, loss_type="mse", group_size=group)
 
     def step(state: TrainState, mel: jax.Array, lengths: jax.Array):
         rng, r_drop, r_fsq = jax.random.split(state.rng, 3)
