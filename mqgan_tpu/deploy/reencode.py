@@ -235,6 +235,9 @@ def main(argv=None):
     p.add_argument("--data_parallel", action="store_true",
                    help="shard batches over all local devices (checkpoint "
                         "source only)")
+    p.add_argument("--compile_cache", default=None,
+                   help="persistent XLA compile cache dir (cuts exported-"
+                        "artifact cold starts ~36x across processes)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute for the checkpoint source (exported "
                         "artifacts already bake their dtype)")
@@ -243,7 +246,8 @@ def main(argv=None):
     if args.model_dir:
         from mqgan_tpu.deploy.runtime import ExportedPreEncoder
 
-        codec = ExportedPreEncoder(args.model_dir)
+        codec = ExportedPreEncoder(args.model_dir,
+                                   compilation_cache_dir=args.compile_cache)
     elif args.checkpoint and args.config:
         import jax.numpy as jnp
 
