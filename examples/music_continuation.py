@@ -60,27 +60,37 @@ def main(argv=None):
         lstm_layers=lm_args["lstm_layers"], pad_id=lm_args["pad_id"],
         dropout=0.0,
     )
-    # template for orbax restore
+    # template for orbax restore (jitted init: unjitted tracing is
+    # minutes-slow through remote backends)
     tok0 = jnp.zeros((1, 4), jnp.int32)
-    template = model.init(jax.random.key(0), tok0, jnp.zeros((1,), jnp.int32),
-                          None)["params"]
+    template = jax.jit(model.init)(
+        jax.random.key(0), tok0, jnp.zeros((1,), jnp.int32), None
+    )["params"]
     params = load_pretrained_generator(best["path"], (), 0, template=template)
 
     prompt = None
     if args.prompt_mel:
         mel = np.load(args.prompt_mel).astype(np.float32)[None]  # (1, T, M)
+        max_t = codec.buckets[-1]
+        if mel.shape[1] > max_t:
+            mel = mel[:, -max_t:]  # keep the most recent frames as prompt
+            print(f"prompt truncated to the last {max_t} frames")
         prompt_tokens = codec.encode(mel)
         prompt = jnp.asarray(prompt_tokens, jnp.int32)
         print(f"prompt: {prompt.shape[1]} tokens from {args.prompt_mel}")
 
+    # specials (pad/BOS and anything past the codec codebook) are masked
+    # out of the sampling distribution so every token decodes meaningfully
+    forbidden = tuple(
+        {lm_args["pad_id"], lm_args["bos_id"]}
+        | set(range(codec.codebook_size, lm_args["vocab_size"]))
+    )
     tokens = generate_tokens(
         model, params, jnp.asarray([args.genre]), jax.random.key(args.seed),
         max_len=args.length, temperature=args.temperature, top_k=args.top_k,
-        bos_id=lm_args["bos_id"], prompt=prompt,
+        bos_id=lm_args["bos_id"], prompt=prompt, forbidden_tokens=forbidden,
     )
     tokens_np = np.asarray(tokens)
-    # clamp BOS/EOS/pad specials outside the codec range before decoding
-    tokens_np = np.clip(tokens_np, 0, codec.codebook_size - 1)
     print(f"sampled tokens: {tokens_np.shape}, "
           f"range [{tokens_np.min()}, {tokens_np.max()}], "
           f"{len(np.unique(tokens_np))} unique")

@@ -46,6 +46,8 @@ def generate_tokens(
     top_k: int = 0,
     bos_id: int = 1,
     prompt: jax.Array | None = None,  # (B, P) optional token prefix
+    forbidden_tokens: tuple = (),  # ids masked out of every sample (e.g.
+    # pad/BOS/EOS specials that must not reach a codec decode)
 ) -> jax.Array:
     """Returns (B, max_len) sampled tokens (excluding the BOS)."""
     b = genre_ids.shape[0]
@@ -55,16 +57,31 @@ def generate_tokens(
         cell.initialize_carry(jax.random.key(0), (b, model.emb_dim))
         for _ in range(model.lstm_layers)
     ]
+    top_k = min(top_k, model.vocab_size) if top_k else 0
 
     token = jnp.full((b,), bos_id, jnp.int32)
-    # feed the prompt (teacher forcing), ending with the last prompt token
+    # feed the prompt (teacher forcing) under a scan, ending with the last
+    # prompt token as the next sampling input
     if prompt is not None:
-        for t in range(prompt.shape[1]):
-            carries, _ = _step_logits(model, params, carries, token, genre_vec)
-            token = prompt[:, t].astype(jnp.int32)
+        shifted = jnp.concatenate(
+            [token[:, None], prompt[:, :-1].astype(jnp.int32)], axis=1
+        )
+
+        def prompt_body(carries, tok):
+            carries, _ = _step_logits(model, params, carries, tok, genre_vec)
+            return carries, None
+
+        carries, _ = jax.lax.scan(prompt_body, carries,
+                                  jnp.transpose(shifted, (1, 0)))
+        token = prompt[:, -1].astype(jnp.int32)
+
+    forbid = jnp.asarray(sorted(set(int(t) for t in forbidden_tokens)),
+                         jnp.int32) if forbidden_tokens else None
 
     def sample(logits, key):
         logits = logits.astype(jnp.float32) / max(temperature, 1e-6)
+        if forbid is not None:
+            logits = logits.at[:, forbid].set(-jnp.inf)
         if top_k and top_k > 0:
             kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
             logits = jnp.where(logits < kth, -jnp.inf, logits)

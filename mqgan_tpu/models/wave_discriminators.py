@@ -36,8 +36,11 @@ class PeriodDiscriminator(nn.Module):
         p = self.period
         pad = (-t) % p
         if pad:
-            # reflect padding like HiFi-GAN's F.pad(..., 'reflect')
-            wav = jnp.concatenate([wav, wav[:, t - pad:][:, ::-1]], axis=1)
+            # reflect padding like HiFi-GAN's F.pad(..., 'reflect'): the
+            # edge sample is NOT duplicated
+            wav = jnp.concatenate(
+                [wav, wav[:, t - pad - 1 : t - 1][:, ::-1]], axis=1
+            )
         x = wav.reshape(b, -1, p, 1)  # (B, T/p, p, 1) NHWC
         if self.dtype is not None:
             x = x.astype(self.dtype)

@@ -18,15 +18,21 @@ import numpy as np
 def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
-    """jax.distributed.initialize wrapper; no-op when single-process args
-    are absent and auto-detection finds nothing."""
-    if coordinator_address is None and num_processes is None:
-        return  # single-host
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    """jax.distributed.initialize wrapper.
+
+    With no args, attempts jax's auto-detection (TPU metadata / cluster
+    env); falls back to single-host when none is found, so calling this
+    unconditionally at startup is safe everywhere."""
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError) as e:
+        if coordinator_address is not None or num_processes is not None:
+            raise  # explicit multi-host request must not be swallowed
+        print(f"multihost: single-host mode ({e})")
 
 
 def host_info() -> tuple[int, int]:

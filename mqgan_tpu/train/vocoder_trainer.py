@@ -118,6 +118,10 @@ def main(argv=None):
         f"prod(upsample_rates)={total_up} must divide hop_length={hop}"
     )
     istft_hop = hop // total_up
+    assert istft_hop * 2 <= args.istft_n_fft, (
+        f"istft_hop={istft_hop} needs istft_n_fft >= {2 * istft_hop} for "
+        f"overlap-add coverage (increase --istft_n_fft or add upsampling)"
+    )
 
     gen = ISTFTNetGenerator(
         n_mels=spec_cfg.spectrogram.n_mel_channels,
@@ -211,8 +215,14 @@ def main(argv=None):
                 return adversarial_d_loss([ro, ro2], [fo, fo2])
 
             d_loss, d_grads = jax.value_and_grad(d_loss_fn)(dp)
+            d_ok = jnp.isfinite(d_loss)
+            d_grads = jax.tree.map(
+                lambda g: jnp.where(d_ok, g, jnp.zeros_like(g)), d_grads)
             d_upd, do2 = d_tx.update(d_grads, do, dp)
             dp2 = optax.apply_updates(dp, d_upd)
+            d_keep = lambda new, old: jnp.where(d_ok, new, old)
+            dp2 = jax.tree.map(d_keep, dp2, dp)
+            do2 = jax.tree.map(d_keep, do2, do)
 
             # G update vs updated D
             def g_loss_fn(p):
@@ -246,15 +256,17 @@ def main(argv=None):
     t0 = time.time()
     for i in range(1, args.steps + 1):
         mel, wav = sampler.batch(args.batch_size)
+        m = None
         if adv_step is not None and i > args.adv_start_step:
             params, opt, d_params, d_opt, m = adv_step(
                 params, opt, d_params, d_opt, mel, wav)
             loss = m["g_total"]
-            extra = {f"vocoder/{k}": float(v) for k, v in m.items()}
         else:
             params, opt, loss = step(params, opt, mel, wav)
-            extra = {}
         if i % args.log_every == 0 or i == 1:
+            # device fetches only at log points (keeps dispatch async)
+            extra = ({f"vocoder/{k}": float(val) for k, val in m.items()}
+                     if m is not None else {})
             logger.log({"vocoder/loss": float(loss), **extra,
                         "steps_per_sec": i / (time.time() - t0)}, step=i)
             print(f"step {i}: loss {float(loss):.4f}")
@@ -263,6 +275,9 @@ def main(argv=None):
 
             path = save_generator_only(args.out_dir, jax.device_get(params),
                                        f"vocoder_step_{i}")
+            if d_params is not None:
+                save_generator_only(args.out_dir, jax.device_get(d_params),
+                                    f"vocoder_disc_step_{i}")
             print(f"saved {path}")
 
     if args.export_dir:
