@@ -122,6 +122,13 @@ def main(argv=None):
     else:
         p.error("provide --model_dir, --checkpoint+--config, or --random+--config")
 
+    max_t = getattr(codec, "buckets", [None])[-1]
+    if max_t and mel.shape[0] > max_t:
+        print(f"clip is {mel.shape[0]} frames; demo truncates to the largest "
+              f"exported bucket ({max_t}) — use deploy.reencode for chunked "
+              f"full-length processing")
+        mel = mel[:max_t]
+
     tokens = codec.encode(mel[None].astype(np.float32))
     print(f"tokens: {tokens.shape}, vocab range [{tokens.min()}, {tokens.max()}]")
     recon = codec.decode(tokens)[0]  # (T, n_mels)
