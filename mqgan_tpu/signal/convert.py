@@ -31,7 +31,9 @@ MIN_DURATION_S = 1.0  # reference convert_spectrograms.py:57
 MAX_DURATION_S = 15.0
 
 
-class MelSpectrogramConverter:
+class MelExtractor:
+    """Per-process wav->log-mel pipeline (lazy jitted CPU frontend)."""
+
     def __init__(self, config: SpecConfig):
         self.config = config
         self._frontend = None  # lazy: created per process
@@ -80,20 +82,22 @@ class MelSpectrogramConverter:
             return False
 
 
-def worker(worker_id: int, tasks: List[Tuple[str, str]], config: SpecConfig):
-    converter = MelSpectrogramConverter(config)
+def _run_shard(shard_id: int, tasks: List[Tuple[str, str]], config: SpecConfig):
+    extractor = MelExtractor(config)
     n = len(tasks)
     for i, (file_path, output_dir) in enumerate(tasks):
         os.makedirs(output_dir, exist_ok=True)
-        converter.process_file(file_path, output_dir)
+        extractor.process_file(file_path, output_dir)
         if (i + 1) % 50 == 0:
-            print(f"[worker {worker_id}] {i + 1}/{n}")
+            print(f"[shard {shard_id}] {i + 1}/{n}")
 
 
-def chunkify(lst, n):
-    """Static chunking (reference convert_spectrograms.py:74-76)."""
-    k, m = divmod(len(lst), n)
-    return [lst[i * k + min(i, m):(i + 1) * k + min(i + 1, m)] for i in range(n)]
+def shard_tasks(tasks: List, n: int) -> List[List]:
+    """Static round-robin assignment of tasks to n worker shards
+    (the reference fans out with static chunking too,
+    convert_spectrograms.py:74-76; striping balances mixed file sizes
+    better and is order-independent per shard)."""
+    return [tasks[i::n] for i in range(n)]
 
 
 def collect_tasks(config: SpecConfig) -> List[Tuple[str, str]]:
@@ -120,14 +124,14 @@ def run(config: SpecConfig, num_workers: int | None = None):
 
     num_workers = num_workers or multiprocessing.cpu_count()
     if num_workers <= 1 or len(tasks) < 4:
-        worker(0, tasks, config)
+        _run_shard(0, tasks, config)
         return
-    chunks = chunkify(tasks, num_workers)
+    shards = shard_tasks(tasks, num_workers)
     procs = []
-    for i, chunk in enumerate(chunks):
-        if not chunk:
+    for i, shard in enumerate(shards):
+        if not shard:
             continue
-        p = multiprocessing.Process(target=worker, args=(i, chunk, config))
+        p = multiprocessing.Process(target=_run_shard, args=(i, shard, config))
         p.start()
         procs.append(p)
     for p in procs:
