@@ -34,10 +34,20 @@ from mqgan_tpu.utils.logging import MetricsLogger
 _PROFILE_START = 2  # steps to skip (compile + warmup) before tracing
 
 
+class _NullLogger:
+    """Metrics sink for non-primary hosts in a multihost run."""
+
+    def log(self, *a, **k):
+        pass
+
+    def close(self):
+        pass
+
+
 class Trainer:
     def __init__(self, config: TrainConfig, *, use_wandb: bool = True,
                  dtype=jnp.bfloat16, mesh=None, max_steps_per_epoch: int | None = None,
-                 profile_steps: int = 0):
+                 profile_steps: int = 0, multihost: bool = False):
         self.config = config
         self.dtype = dtype
         self.start_epoch = 1
@@ -46,6 +56,13 @@ class Trainer:
         # first epoch into {output_dir}/profile
         self.profile_steps = profile_steps
         self._profiling = False
+        # multihost: per-process file shards + global-batch assembly over
+        # all hosts' devices (parallel/multihost.py); the identity path on
+        # a single process. DCN-ready: the mesh spans all processes'
+        # devices, so DP gradients reduce over ICI within a slice and DCN
+        # across slices, exactly as laid out by GSPMD.
+        self.multihost = multihost
+        self._is_primary = (not multihost) or jax.process_index() == 0
         self.mesh = mesh if mesh is not None else make_mesh()
         self._batch_sharding = batch_sharding(self.mesh)
         self._repl = replicated(self.mesh)
@@ -56,12 +73,16 @@ class Trainer:
         self._eval_step = None
 
         log_cfg = config.logging
-        self.logger = MetricsLogger(
-            config.data.output_dir,
-            wandb_project=(log_cfg.wandb.project if use_wandb else None),
-            wandb_entity=log_cfg.wandb.entity,
-            config=config.to_dict(),
-        )
+        # only the primary host writes metrics/plots (shared-FS safety)
+        if self._is_primary:
+            self.logger = MetricsLogger(
+                config.data.output_dir,
+                wandb_project=(log_cfg.wandb.project if use_wandb else None),
+                wandb_entity=log_cfg.wandb.entity,
+                config=config.to_dict(),
+            )
+        else:
+            self.logger = _NullLogger()
 
     # ------------------------------------------------------------------
     def _setup_data(self):
@@ -74,9 +95,22 @@ class Trainer:
         )
         print(f"Dataset: {len(files)} files -> {len(train_files)} train / "
               f"{len(eval_files)} eval")
+        local_bs = cfg.data.batch_size
+        if self.multihost:
+            from mqgan_tpu.parallel.multihost import host_info, shard_files_for_host
+
+            idx, count = host_info()
+            # config batch_size is the GLOBAL batch; each host loads its slice
+            assert cfg.data.batch_size % count == 0, (
+                f"batch_size {cfg.data.batch_size} not divisible by "
+                f"{count} hosts")
+            local_bs = cfg.data.batch_size // count
+            train_files = shard_files_for_host(train_files)
+            print(f"multihost: host {idx}/{count} takes {len(train_files)} "
+                  f"train files, local batch {local_bs}")
         self.train_loader = MelLoader(
             MelDataset(train_files),
-            batch_size=cfg.data.batch_size,
+            batch_size=local_bs,
             crop_lens=cfg.crop_lens,
             seed=cfg.training.seed,
         )
@@ -134,6 +168,10 @@ class Trainer:
         return self._steps[train_d]
 
     def _put(self, arr):
+        if self.multihost:
+            from mqgan_tpu.parallel.multihost import make_global_batch
+
+            return make_global_batch(self.mesh, np.asarray(arr))
         return jax.device_put(arr, self._batch_sharding)
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
@@ -193,6 +231,8 @@ class Trainer:
         (reference _log_train_images, train.py:539-573)."""
         if batch is None or self.config.logging.num_plot_examples <= 0:
             return
+        if not self._is_primary:
+            return
         if self._eval_step is None:
             self._eval_step = make_eval_step(self.config, self.dtype)
         from mqgan_tpu.utils.plotting import save_triptych
@@ -251,18 +291,26 @@ class Trainer:
         return {}
 
     def save(self, epoch: int):
-        path = ckpt_utils.save_checkpoint(
-            self.config.data.output_dir, jax.device_get(self.state), epoch,
-            self.config.to_dict(),
-        )
-        print(f"Checkpoint saved to {path}")
+        # state is replicated, so the primary host's copy is the global
+        # state; non-primary hosts just hit the barrier
+        if self._is_primary:
+            path = ckpt_utils.save_checkpoint(
+                self.config.data.output_dir, jax.device_get(self.state), epoch,
+                self.config.to_dict(),
+            )
+            print(f"Checkpoint saved to {path}")
+        if self.multihost and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"ckpt_epoch_{epoch}")
 
     def train(self):
         cfg = self.config
         for epoch in range(self.start_epoch, cfg.training.num_epochs + 1):
             last = self.train_epoch(epoch)
             print(f"Epoch {epoch}: {last}")
-            if epoch % cfg.logging.eval_interval == 0 and len(self.eval_dataset):
+            if (epoch % cfg.logging.eval_interval == 0 and
+                    len(self.eval_dataset) and self._is_primary):
                 self.evaluate(epoch)
             if epoch % cfg.logging.save_interval == 0:
                 self.save(epoch)
@@ -280,7 +328,23 @@ def main(argv=None):
     parser.add_argument("--profile", type=int, default=0, metavar="N",
                         help="capture a jax.profiler trace for N steps of "
                              "the first epoch into {output_dir}/profile")
+    parser.add_argument("--multihost", action="store_true",
+                        help="multi-host (multi-slice) run: initialize "
+                             "jax.distributed, shard train files per host, "
+                             "assemble global batches over all hosts")
+    parser.add_argument("--coordinator", type=str, default=None,
+                        help="coordinator address for --multihost "
+                             "(default: auto-detect)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args(argv)
+
+    if args.multihost:
+        from mqgan_tpu.parallel.multihost import initialize
+
+        initialize(coordinator_address=args.coordinator,
+                   num_processes=args.num_processes,
+                   process_id=args.process_id)
 
     import dataclasses
 
@@ -300,6 +364,7 @@ def main(argv=None):
         config, use_wandb=not args.no_wandb,
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
         profile_steps=args.profile,
+        multihost=args.multihost,
     )
     trainer.train()
     trainer.logger.close()

@@ -56,7 +56,11 @@ def test_data_pipeline(tmp_path):
         assert b.mel.shape[0] == 8
         assert b.mel.shape[1] in (32, 48)
         assert b.mel.shape[2] == MEL
-        assert (b.lengths <= b.mel.shape[1]).all() and (b.lengths > 0).all()
+        assert (b.lengths <= b.mel.shape[1]).all()
+        # real rows have positive lengths; "<pad>" fill rows are
+        # zero-length (and zero mel) so they fall out of every masked loss
+        for L, name in zip(b.lengths, b.filenames):
+            assert (L == 0) == (name == "<pad>")
         # padding beyond length is zero
         for i, L in enumerate(b.lengths):
             assert np.abs(b.mel[i, L:]).sum() == 0
@@ -146,3 +150,41 @@ def test_trainer_end_to_end(tmp_path):
     # eval plots got rendered
     plots = os.listdir(os.path.join(out_dir, "plots"))
     assert any(p.endswith(".png") for p in plots)
+
+
+@pytest.mark.slow
+def test_trainer_multihost_path_identity(tmp_path):
+    """Single-process run through the --multihost code path (host file
+    sharding + make_global_batch + primary-host gating) is numerically
+    identical to the default path."""
+    import dataclasses
+
+    from mqgan_tpu.train.trainer import Trainer
+
+    data_dir = make_dataset(tmp_path)
+    cfg = trainer_config(data_dir, str(tmp_path / "out_a"))
+    cfg = dataclasses.replace(
+        cfg, training=dataclasses.replace(cfg.training, num_epochs=1))
+
+    t_plain = Trainer(cfg, use_wandb=False, dtype=jnp.float32,
+                      max_steps_per_epoch=2)
+    t_plain.train()
+    t_plain.logger.close()
+
+    cfg_mh = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data,
+                                      output_dir=str(tmp_path / "out_b")))
+    t_mh = Trainer(cfg_mh, use_wandb=False, dtype=jnp.float32,
+                   max_steps_per_epoch=2, multihost=True)
+    assert t_mh._is_primary  # process 0 of 1
+    t_mh.train()
+    t_mh.logger.close()
+
+    flat_a = jax.tree_util.tree_leaves(t_plain.state.gen_params)
+    flat_b = jax.tree_util.tree_leaves(t_mh.state.gen_params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(t_plain.state.lecam.ema_real),
+        np.asarray(t_mh.state.lecam.ema_real))
+    assert int(t_plain.state.step) == int(t_mh.state.step)
