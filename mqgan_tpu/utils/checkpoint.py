@@ -28,6 +28,19 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+def _abstract_leaf(x):
+    """ShapeDtypeStruct template leaf with a concrete sharding.
+
+    orbax's deserializer requires every abstract leaf to carry a concrete
+    jax.sharding.Sharding; jax.eval_shape templates have sharding=None, so
+    default those to the process's first device."""
+    sds = ocp.utils.to_shape_dtype_struct(x)
+    if getattr(sds, "sharding", None) is None:
+        sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        sds = jax.ShapeDtypeStruct(sds.shape, sds.dtype, sharding=sharding)
+    return sds
+
+
 def save_checkpoint(output_dir: str, state: Any, epoch: int, config_dict=None) -> str:
     """Save the full TrainState under output_dir/checkpoint_epoch_{epoch:03d}."""
     os.makedirs(output_dir, exist_ok=True)
@@ -60,7 +73,7 @@ def restore_checkpoint(path: str, abstract_state: Any) -> Any:
     """Restore a TrainState saved by save_checkpoint; abstract_state is a
     template (e.g. jax.eval_shape of the init fn, or an actual state)."""
     ckptr = _checkpointer()
-    template = jax.tree.map(ocp.utils.to_shape_dtype_struct, abstract_state)
+    template = jax.tree.map(_abstract_leaf, abstract_state)
     return ckptr.restore(path, template)
 
 
@@ -89,6 +102,6 @@ def load_pretrained_generator(path: str, channels, refiner_depth: int,
         return import_generator_params(sd, channels, refiner_depth)
     ckptr = _checkpointer()
     if template is not None:
-        tmpl = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+        tmpl = jax.tree.map(_abstract_leaf, template)
         return ckptr.restore(os.path.abspath(path), tmpl)
     return ckptr.restore(os.path.abspath(path))
