@@ -155,13 +155,20 @@ class MelLoader:
                 if batch is None:
                     continue
                 if len(batch.filenames) < self.batch_size:
-                    # keep static shapes: repeat-pad short batches up to B
+                    # keep static shapes: pad short final batches up to B
+                    # with zero-length rows. Every loss is masked by
+                    # `lengths`, so pad rows carry zero weight and zero
+                    # gradient — matching the reference's smaller final
+                    # batch semantics (train.py:140-197) without a second
+                    # compiled batch shape.
                     deficit = self.batch_size - len(batch.filenames)
-                    reps = [i % len(batch.filenames) for i in range(deficit)]
+                    pad_mel = np.zeros((deficit,) + batch.mel.shape[1:],
+                                       batch.mel.dtype)
+                    pad_len = np.zeros((deficit,), batch.lengths.dtype)
                     batch = Batch(
-                        mel=np.concatenate([batch.mel, batch.mel[reps]], 0),
-                        lengths=np.concatenate([batch.lengths, batch.lengths[reps]], 0),
-                        filenames=batch.filenames + [batch.filenames[r] for r in reps],
+                        mel=np.concatenate([batch.mel, pad_mel], 0),
+                        lengths=np.concatenate([batch.lengths, pad_len], 0),
+                        filenames=batch.filenames + ["<pad>"] * deficit,
                     )
                 yield batch
         finally:

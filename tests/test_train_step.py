@@ -182,3 +182,30 @@ def test_eval_step(setup):
     pre2, post2, idx2, _ = eval_step(state.gen_params, mel, lengths)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx2))
     np.testing.assert_allclose(np.asarray(post), np.asarray(post2), atol=0)
+
+
+def test_zero_length_pad_rows_contribute_nothing(setup):
+    """Zero-length fill rows (MelLoader's static-shape batch padding) must
+    carry zero loss weight and zero gradient: the updated state is
+    identical whatever garbage sits in a zero-length row's mel."""
+    cfg, state, mel, lengths = setup
+    step = make_train_step(cfg, train_d=True, donate=False)
+
+    lens_padded = jnp.asarray(np.array([T, T - 5, 0, 0], np.int32))
+    mel_zeros = mel.at[2:].set(0.0)
+    mel_garbage = mel.at[2:].set(1e3)
+
+    s_a, m_a = step(state, mel_zeros, lens_padded)
+    s_b, m_b = step(state, mel_garbage, lens_padded)
+
+    for k in m_a:
+        np.testing.assert_allclose(float(m_a[k]), float(m_b[k]), rtol=1e-6,
+                                   err_msg=f"metric {k}")
+        assert np.isfinite(float(m_a[k])), k
+    la = jax.tree_util.tree_leaves(s_a.gen_params)
+    lb = jax.tree_util.tree_leaves(s_b.gen_params)
+    for a, b in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(s_a.disc_params),
+                    jax.tree_util.tree_leaves(s_b.disc_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
