@@ -83,6 +83,95 @@ def test_entry_compiles():
     assert out[2].shape == (8, 256)
 
 
+def _load_graft_entry(tag):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        f"graft_entry_{tag}", "/root/repo/__graft_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _allclose_tree(a, b, rtol=3e-4, atol=3e-5, what=""):
+    la, ta = jax.tree_util.tree_flatten_with_path(a)[0], jax.tree.structure(a)
+    lb, tb = jax.tree_util.tree_flatten_with_path(b)[0], jax.tree.structure(b)
+    assert ta == tb, f"{what}: tree structure differs"
+    for (pa, va), (_, vb) in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(va, np.float32), np.asarray(vb, np.float32),
+            rtol=rtol, atol=atol,
+            err_msg=f"{what}: leaf {jax.tree_util.keystr(pa)}",
+        )
+
+
+@pytest.mark.slow
+def test_sharded_train_step_numerics_match_single_device():
+    """The full GAN train step is semantically identical across meshes.
+
+    Runs 3 steps on the same global batches at mesh 1x1 (single device),
+    8x1 (pure DP), and 4x2 (DP x TP) and asserts metrics, updated params
+    (G + both Ds), optimizer moments, and the LeCam EMA state all match.
+    Reference contract: the step must equal /root/reference/train.py:380-501
+    regardless of how it is sharded; this fails if any cross-replica
+    reduction (e.g. the grad psum or the LeCam EMA sync) is dropped.
+    """
+    from mqgan_tpu.train.state import create_train_state
+    from mqgan_tpu.train.step import build_models, make_train_step
+
+    cfg = _load_graft_entry("numerics")._flagship_config(tiny=True)
+    gen, patch, mb = build_models(cfg)
+
+    b, t, n_steps = 8, 32, 3
+    host_rng = np.random.default_rng(42)
+    mels = [
+        host_rng.standard_normal((b, t, cfg.model.mel_channels)).astype(np.float32)
+        for _ in range(n_steps)
+    ]
+    lengths = np.full((b,), t, np.int32)
+    lengths[1], lengths[5] = 24, 16  # exercise masking under sharding
+
+    mel0, len0 = jnp.asarray(mels[0]), jnp.asarray(lengths)
+    kg, kp, km, kr = jax.random.split(jax.random.key(7), 4)
+    state0, _, _ = create_train_state(
+        gen_variables=jax.jit(gen.init)(kg, mel0, len0),
+        patch_variables=jax.jit(patch.init)(kp, mel0, len0),
+        multibin_variables=jax.jit(mb.init)(km, mel0, len0),
+        training_cfg=cfg.training,
+        rng=kr,
+    )
+    step = make_train_step(cfg, train_d=True, donate=False)
+
+    def run(n_data, n_model):
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
+        state = jax.device_put(state0, state_shardings(mesh, state0))
+        for i in range(n_steps):
+            mel = jax.device_put(jnp.asarray(mels[i]), batch_sharding(mesh))
+            lens = jax.device_put(jnp.asarray(lengths), batch_sharding(mesh))
+            state, metrics = step(state, mel, lens)
+        return jax.device_get(state), jax.device_get(metrics)
+
+    ref_state, ref_metrics = run(1, 1)
+    for n_data, n_model in [(8, 1), (4, 2)]:
+        got_state, got_metrics = run(n_data, n_model)
+        tag = f"mesh {n_data}x{n_model}"
+        _allclose_tree(got_metrics, ref_metrics, rtol=1e-3, atol=1e-4,
+                       what=f"{tag} metrics")
+        _allclose_tree(got_state.gen_params, ref_state.gen_params,
+                       what=f"{tag} gen_params")
+        _allclose_tree(got_state.disc_params, ref_state.disc_params,
+                       what=f"{tag} disc_params")
+        _allclose_tree(got_state.disc_stats, ref_state.disc_stats,
+                       what=f"{tag} disc_stats")
+        _allclose_tree(got_state.gen_opt, ref_state.gen_opt,
+                       what=f"{tag} gen_opt")
+        # LeCam EMA identical across DP widths (claim at losses/gan.py:9-11)
+        _allclose_tree(got_state.lecam, ref_state.lecam, rtol=1e-5,
+                       atol=1e-6, what=f"{tag} lecam")
+        assert int(got_state.step) == int(ref_state.step) == n_steps
+
+
 def test_multihost_single_process_paths(rng):
     """Single-host identity behavior of the multi-host utilities."""
     from mqgan_tpu.parallel.multihost import (
