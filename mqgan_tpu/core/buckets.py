@@ -48,6 +48,16 @@ class BucketPolicy:
         """
         lengths = np.array([a.shape[0] for a in arrays], dtype=np.int32)
         tb = self.bucket_for(int(lengths.max()))
+        if int(lengths.max()) > tb:
+            import warnings
+
+            warnings.warn(
+                f"pad_batch: sequence of {int(lengths.max())} frames exceeds "
+                f"the largest bucket ({tb}) and will be TRUNCATED; chunk "
+                f"long sequences instead (deploy.reencode / "
+                f"Trainer._eval_clip do this)",
+                stacklevel=2,
+            )
         c = arrays[0].shape[1]
         out = np.zeros((len(arrays), tb, c), dtype=np.float32)
         for i, a in enumerate(arrays):

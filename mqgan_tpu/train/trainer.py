@@ -253,14 +253,41 @@ class Trainer:
                 print(f"train plotting failed: {e}")
                 break
 
+    def _eval_clip(self, mel: np.ndarray):
+        """Full-length eval of one (T, C) clip, chunked over the largest
+        eval bucket (reference _evaluate runs full-length sequences,
+        train.py:585-599; we cover every frame by chunking instead of
+        compiling unbounded shapes). Returns (pre, post, metrics) with
+        pre/post full-length (T, C) and MSEs computed over ALL frames."""
+        from mqgan_tpu.core.buckets import BucketPolicy, DEFAULT_INFERENCE_BUCKETS
+
+        policy = BucketPolicy(DEFAULT_INFERENCE_BUCKETS[:6])
+        max_t = policy.buckets[-1]
+        t = mel.shape[0]
+        pre_full = np.zeros_like(mel, dtype=np.float32)
+        post_full = np.zeros_like(mel, dtype=np.float32)
+        for pos in range(0, t, max_t):
+            seg = mel[pos: pos + max_t]
+            batch, lengths, _ = policy.pad_batch([seg])
+            pre, post, _idx, _m = self._eval_step(
+                self.state.gen_params, jnp.asarray(batch), jnp.asarray(lengths)
+            )
+            n = seg.shape[0]
+            pre_full[pos: pos + n] = np.asarray(pre)[0, :n]
+            post_full[pos: pos + n] = np.asarray(post)[0, :n]
+        mel32 = mel.astype(np.float32)
+        metrics = {
+            "eval_recon_pre_mse": float(np.mean((pre_full - mel32) ** 2)),
+            "eval_recon_post_mse": float(np.mean((post_full - mel32) ** 2)),
+        }
+        return pre_full, post_full, metrics
+
     def evaluate(self, epoch: int, num_examples: int | None = None):
         cfg = self.config
         if self._eval_step is None:
             self._eval_step = make_eval_step(cfg, self.dtype)
-        from mqgan_tpu.core.buckets import BucketPolicy, DEFAULT_INFERENCE_BUCKETS
         from mqgan_tpu.utils.plotting import save_triptych
 
-        policy = BucketPolicy(DEFAULT_INFERENCE_BUCKETS[:6])
         n = min(num_examples or cfg.logging.num_plot_examples, len(self.eval_dataset))
         rng = np.random.default_rng(epoch)
         idxs = rng.choice(len(self.eval_dataset), size=n, replace=False) if n else []
@@ -269,16 +296,12 @@ class Trainer:
             mel = self.eval_dataset.load(int(idx))
             if mel is None:
                 continue
-            batch, lengths, _ = policy.pad_batch([mel])
-            pre, post, _idx, m = self._eval_step(
-                self.state.gen_params, jnp.asarray(batch), jnp.asarray(lengths)
-            )
-            metrics_acc.append({k: float(v) for k, v in m.items()})
+            pre, post, m = self._eval_clip(mel)
+            metrics_acc.append(m)
             try:
                 save_triptych(
                     cfg.data.output_dir, f"epoch_{epoch:03d}_eval_{i + 1}",
-                    batch[0], np.asarray(pre)[0], np.asarray(post)[0],
-                    length=int(lengths[0]),
+                    mel, pre, post, length=mel.shape[0],
                 )
             except Exception as e:  # plotting is best-effort
                 print(f"plotting failed: {e}")

@@ -101,3 +101,20 @@ def test_spec_config_validation_errors():
     cfg = SpecConfig.from_dict({"spectrogram": {"win_length": 4096}})
     with pytest.raises(ValueError):
         cfg.validate()
+
+
+def test_pad_batch_warns_on_truncation():
+    import warnings
+
+    import pytest as _pytest
+
+    from mqgan_tpu.core.buckets import BucketPolicy
+
+    policy = BucketPolicy((64, 128))
+    with _pytest.warns(UserWarning, match="TRUNCATED"):
+        out, lengths, tb = policy.pad_batch([np.zeros((300, 4), np.float32)])
+    assert tb == 128 and lengths[0] == 128
+    # in-bucket input stays silent
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        policy.pad_batch([np.zeros((100, 4), np.float32)])

@@ -188,3 +188,32 @@ def test_trainer_multihost_path_identity(tmp_path):
         np.asarray(t_plain.state.lecam.ema_real),
         np.asarray(t_mh.state.lecam.ema_real))
     assert int(t_plain.state.step) == int(t_mh.state.step)
+
+
+@pytest.mark.slow
+def test_eval_covers_full_length(tmp_path):
+    """Eval must not truncate clips longer than the largest inference
+    bucket (512): the chunked eval path covers every frame, like the
+    reference's full-length _evaluate (train.py:585-599)."""
+    from mqgan_tpu.train.trainer import Trainer
+
+    data_dir = make_dataset(tmp_path)
+    # add one clip much longer than the 512-frame eval bucket
+    long_mel = np.random.default_rng(3).standard_normal(
+        (1100, MEL)).astype(np.float32)
+    np.save(os.path.join(data_dir, "clip_long_mel.npy"), long_mel)
+
+    cfg = trainer_config(data_dir, str(tmp_path / "out"))
+    trainer = Trainer(cfg, use_wandb=False, dtype=jnp.float32)
+    from mqgan_tpu.train.step import make_eval_step
+
+    trainer._eval_step = make_eval_step(cfg, jnp.float32)
+    pre, post, m = trainer._eval_clip(long_mel)
+    assert pre.shape == long_mel.shape and post.shape == long_mel.shape
+    # frames past the bucket boundary were actually produced
+    assert np.abs(post[512:]).sum() > 0
+    assert np.abs(pre[1024:]).sum() > 0
+    np.testing.assert_allclose(
+        m["eval_recon_post_mse"],
+        float(np.mean((post - long_mel) ** 2)), rtol=1e-6)
+    trainer.logger.close()
