@@ -178,6 +178,75 @@ def validate_against_template(imported: Mapping[str, Any], template: Mapping[str
                 )
 
 
+def _sn_conv(sd: Mapping[str, np.ndarray], p: str):
+    """torch spectral-norm Conv2d -> (flax params, sigma, u).
+
+    torch nn.utils.spectral_norm stores weight_orig / weight_u / weight_v;
+    eval mode divides by sigma = u^T @ W_mat @ v. flax's SpectralNorm
+    ignores the stored sigma and re-runs one power iteration from the
+    stored u every forward, so we store the EXACT top singular vector
+    (computed by SVD, in flax's (prod(leading), O) matricization) — the
+    power-iteration fixed point — making flax's sigma the true sigma_max.
+    For a trained torch checkpoint the stored u/v have converged and
+    sigma == sigma_max, so this reproduces torch eval logits exactly; for
+    an unconverged checkpoint torch's sigma is a random underestimate and
+    we deliberately use sigma_max instead (better conditioned).
+    """
+    w = sd[f"{p}.weight_orig"]
+    kernel = _conv_kernel(w, "conv2d")
+    mat = kernel.reshape(-1, kernel.shape[-1])
+    _, s, qt = np.linalg.svd(mat, full_matrices=False)
+    params = {"kernel": kernel, "bias": sd[f"{p}.bias"]}
+    return params, float(s[0]), qt[0]
+
+
+def _se(sd, p: str) -> Dict[str, Any]:
+    return {"fc1": _linear(sd, f"{p}.fc1"), "fc2": _linear(sd, f"{p}.fc2")}
+
+
+def import_patch_discriminator_params(
+    state_dict: Mapping[str, Any], prefix: str = ""
+) -> tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference MelSpectrogramPatchDiscriminator2D state_dict
+    (discriminators.py:86-175) -> (params, batch_stats) for our flax model.
+
+    batch_stats carry the torch eval-mode spectral-norm sigma per conv, so
+    apply(..., update_stats=False) reproduces torch eval logits exactly.
+    """
+    sd = to_numpy_state_dict(strip_module_prefix(state_dict))
+    pfx = f"{prefix}." if prefix else ""
+    params: Dict[str, Any] = {"se_block": _se(sd, f"{pfx}se_block")}
+    stats: Dict[str, Any] = {}
+    i = 0
+    while f"{pfx}convs.{i}.weight_orig" in sd:
+        p, sigma, u = _sn_conv(sd, f"{pfx}convs.{i}")
+        params[f"convs_{i}"] = p
+        stats[f"SpectralNorm_{i}"] = {
+            f"convs_{i}/kernel/sigma": np.asarray(sigma, np.float32),
+            f"convs_{i}/kernel/u": u[None, :].astype(np.float32),
+        }
+        i += 1
+    if i == 0:
+        raise KeyError(f"no spectral-norm convs under '{pfx}convs'")
+    return params, stats
+
+
+def import_multibin_discriminator_params(
+    state_dict: Mapping[str, Any], n_bins: int
+) -> tuple[Dict[str, Any], Dict[str, Any]]:
+    """Reference MultiBinDiscriminator state_dict (discriminators.py:251-291)
+    -> (params, batch_stats): one imported patch-D per mel band."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(n_bins):
+        p, s = import_patch_discriminator_params(
+            state_dict, prefix=f"discriminators.{i}"
+        )
+        params[f"discriminators_{i}"] = p
+        stats[f"discriminators_{i}"] = s
+    return params, stats
+
+
 def import_music_lstm_params(state_dict: Mapping[str, Any], lstm_layers: int = 2) -> Dict[str, Any]:
     """Reference MusicLSTM state_dict (train_music_lstm_v2.py:146-202) ->
     our flax params.

@@ -147,3 +147,87 @@ def test_spectral_norm_updates_stats(rng):
         for a, b in zip(leaves_before, leaves_after)
     )
     assert changed
+
+
+def test_patch_discriminator_logit_parity(rng, ref_mods):
+    """Import reference spectral-norm weights + eval-mode sigma and match
+    the reference logits numerically (discriminators.py:196-242)."""
+    from mqgan_tpu.utils.torch_import import import_patch_discriminator_params
+
+    *_, ref_disc = ref_mods
+    mel, tlen = 16, 32
+    hidden = (8, 12)
+    ks = (5, 3, 3)
+    strides = ((1, 2), (2, 2), (2, 1))
+
+    x = rng.standard_normal((2, tlen, mel)).astype(np.float32)
+    lengths = np.array([25, 32], np.int32)
+
+    torch.manual_seed(3)
+    tdisc = ref_disc.MelSpectrogramPatchDiscriminator2D(
+        mel_channels=mel, hidden_channels=list(hidden), kernel_sizes=list(ks),
+        stride=[list(s) for s in strides],
+    )
+    # converge torch's power iteration (one step per train-mode forward),
+    # as a trained checkpoint would be; see _sn_conv docstring
+    tdisc.train()
+    with torch.no_grad():
+        for _ in range(100):
+            tdisc(torch.from_numpy(x), torch.from_numpy(lengths))
+    tdisc.eval()
+    with torch.no_grad():
+        t_logits, t_mask = tdisc(torch.from_numpy(x), torch.from_numpy(lengths))
+
+    params, stats = import_patch_discriminator_params(tdisc.state_dict())
+    ours = MelSpectrogramPatchDiscriminator2D(
+        mel_channels=mel, hidden_channels=hidden, kernel_sizes=ks, strides=strides
+    )
+    j_logits, j_mask = ours.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x), jnp.asarray(lengths),
+    )
+    np.testing.assert_array_equal(np.asarray(j_mask), t_mask.squeeze(1).numpy())
+    np.testing.assert_allclose(
+        np.asarray(j_logits)[..., 0], t_logits.squeeze(1).numpy(),
+        atol=2e-5, rtol=1e-4,
+    )
+
+
+def test_multibin_discriminator_logit_parity(rng, ref_mods):
+    from mqgan_tpu.utils.torch_import import import_multibin_discriminator_params
+
+    *_, ref_disc = ref_mods
+    mel, tlen, n_bins = 16, 32, 2
+    x = rng.standard_normal((2, tlen, mel)).astype(np.float32)
+    lengths = np.array([20, 32], np.int32)
+
+    torch.manual_seed(4)
+    tdisc = ref_disc.MultiBinDiscriminator(
+        mel_channels=mel, n_bins=n_bins, hidden_channels=[4, 8],
+        kernel_sizes=[5, 3, 3], n_no_strides=2,
+    )
+    tdisc.train()
+    with torch.no_grad():
+        for _ in range(100):
+            tdisc(torch.from_numpy(x), torch.from_numpy(lengths))
+    tdisc.eval()
+    with torch.no_grad():
+        t_outs, t_masks = tdisc(torch.from_numpy(x), torch.from_numpy(lengths))
+
+    params, stats = import_multibin_discriminator_params(
+        tdisc.state_dict(), n_bins=n_bins)
+    ours = MultiBinDiscriminator(
+        mel_channels=mel, n_bins=n_bins, hidden_channels=(4, 8),
+        kernel_sizes=(5, 3, 3), n_no_strides=2,
+    )
+    j_outs, j_masks = ours.apply(
+        {"params": params, "batch_stats": stats},
+        jnp.asarray(x), jnp.asarray(lengths),
+    )
+    assert len(j_outs) == n_bins
+    for jo, jm, to, tm in zip(j_outs, j_masks, t_outs, t_masks):
+        np.testing.assert_array_equal(np.asarray(jm), tm.squeeze(1).numpy())
+        np.testing.assert_allclose(
+            np.asarray(jo)[..., 0], to.squeeze(1).numpy(),
+            atol=2e-5, rtol=1e-4,
+        )
