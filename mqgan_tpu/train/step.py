@@ -67,12 +67,18 @@ def make_train_step(
     train_d: bool,
     dtype=None,
     donate: bool = True,
+    log_grad_norms: bool = False,
 ) -> Callable[[TrainState, jax.Array, jax.Array], Tuple[TrainState, Metrics]]:
     """Build a jitted train step for one phase.
 
     train_d=False == warmup epochs before discriminator_train_start_epoch
     (reference train.py:427,527): pure reconstruction training, no D in the
     compiled graph at all.
+
+    log_grad_norms=True adds per-component gradient L2 norms to the
+    metrics (the in-graph half of the wandb.watch equivalent,
+    reference train.py:333) — a static variant so the default graph is
+    untouched.
     """
     gen, patch, mb = build_models(cfg, dtype)
     gen_tx, disc_tx = make_optimizers(cfg.training)
@@ -155,6 +161,8 @@ def make_train_step(
             )
             new_disc_params = optax.apply_updates(state.disc_params, d_updates)
             metrics["loss_d"] = loss_d
+            if log_grad_norms:
+                metrics["grad_norm/disc"] = optax.global_norm(d_grads)
         else:
             new_disc_params = state.disc_params
             new_disc_opt = state.disc_opt
@@ -236,6 +244,10 @@ def make_train_step(
             g_out_loss, has_aux=True
         )((recon_pre, recon_post))
         (gen_grads,) = gen_vjp(out_grads)
+        if log_grad_norms:
+            metrics["grad_norm/gen"] = optax.global_norm(gen_grads)
+            for comp, sub in gen_grads.items():
+                metrics[f"grad_norm/gen/{comp}"] = optax.global_norm(sub)
         g_updates, new_gen_opt = gen_tx.update(
             gen_grads, state.gen_opt, state.gen_params
         )

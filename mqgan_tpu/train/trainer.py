@@ -47,7 +47,8 @@ class _NullLogger:
 class Trainer:
     def __init__(self, config: TrainConfig, *, use_wandb: bool = True,
                  dtype=jnp.bfloat16, mesh=None, max_steps_per_epoch: int | None = None,
-                 profile_steps: int = 0, multihost: bool = False):
+                 profile_steps: int = 0, multihost: bool = False,
+                 watch_interval: int = 0):
         self.config = config
         self.dtype = dtype
         self.start_epoch = 1
@@ -56,6 +57,10 @@ class Trainer:
         # first epoch into {output_dir}/profile
         self.profile_steps = profile_steps
         self._profiling = False
+        # wandb.watch equivalent (reference train.py:333): every
+        # watch_interval steps, log per-component gradient norms (in-graph)
+        # and parameter distribution summaries (host-side)
+        self.watch_interval = watch_interval
         # multihost: per-process file shards + global-batch assembly over
         # all hosts' devices (parallel/multihost.py); the identity path on
         # a single process. DCN-ready: the mesh spans all processes'
@@ -163,7 +168,8 @@ class Trainer:
     def _step_fn(self, train_d: bool):
         if train_d not in self._steps:
             self._steps[train_d] = make_train_step(
-                self.config, train_d=train_d, dtype=self.dtype
+                self.config, train_d=train_d, dtype=self.dtype,
+                log_grad_norms=bool(self.watch_interval),
             )
         return self._steps[train_d]
 
@@ -190,6 +196,15 @@ class Trainer:
                 self._maybe_profile(n)
             self.state, metrics = step_fn(self.state, mel, lengths)
             n += 1
+            if self.watch_interval and n % self.watch_interval == 0:
+                from mqgan_tpu.utils.logging import tree_stats
+
+                watch = tree_stats(
+                    jax.device_get(self.state.gen_params), prefix="param/gen")
+                watch.update(
+                    {k: float(v) for k, v in metrics.items()
+                     if k.startswith("grad_norm")})
+                self.logger.log(watch, step=int(self.state.step))
             frames += int(np.prod(mel.shape[:2]))
             last_batch = (mel, lengths, names)
             if n % 10 == 0 or n == 1:
@@ -351,6 +366,10 @@ def main(argv=None):
     parser.add_argument("--profile", type=int, default=0, metavar="N",
                         help="capture a jax.profiler trace for N steps of "
                              "the first epoch into {output_dir}/profile")
+    parser.add_argument("--watch", type=int, default=0, metavar="N",
+                        help="every N steps, log per-component gradient "
+                             "norms and parameter distribution summaries "
+                             "(wandb.watch equivalent)")
     parser.add_argument("--multihost", action="store_true",
                         help="multi-host (multi-slice) run: initialize "
                              "jax.distributed, shard train files per host, "
@@ -388,6 +407,7 @@ def main(argv=None):
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
         profile_steps=args.profile,
         multihost=args.multihost,
+        watch_interval=args.watch,
     )
     trainer.train()
     trainer.logger.close()

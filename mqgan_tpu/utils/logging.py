@@ -21,6 +21,44 @@ def _to_py(v):
         return str(v)
 
 
+def tree_stats(tree, prefix: str = "param", bins: int = 16) -> dict:
+    """Per-top-level-component distribution summaries of a param pytree —
+    the wandb.watch equivalent (reference train.py:333) rendered as flat
+    scalars + a fixed-bin histogram, so the JSONL stream carries the same
+    observability (norms, spread, saturation) without a wandb dependency.
+
+    Returns {"{prefix}/{component}/{stat}": float} plus
+    "{prefix}/{component}/hist" as a list of bin counts over
+    [mean-4std, mean+4std].
+    """
+    import numpy as np
+
+    out: dict = {}
+    items = tree.items() if hasattr(tree, "items") else [("all", tree)]
+    for name, sub in items:
+        leaves = [np.asarray(x).ravel() for x in _tree_leaves(sub)]
+        if not leaves:
+            continue
+        v = np.concatenate(leaves).astype(np.float64)
+        mean, std = float(v.mean()), float(v.std())
+        out[f"{prefix}/{name}/l2"] = float(np.sqrt(np.sum(v * v)))
+        out[f"{prefix}/{name}/mean"] = mean
+        out[f"{prefix}/{name}/std"] = std
+        out[f"{prefix}/{name}/absmax"] = float(np.abs(v).max())
+        lo, hi = mean - 4 * std, mean + 4 * std
+        if hi <= lo:
+            hi = lo + 1e-12
+        counts, _ = np.histogram(v, bins=bins, range=(lo, hi))
+        out[f"{prefix}/{name}/hist"] = counts.tolist()
+    return out
+
+
+def _tree_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
+
+
 class MetricsLogger:
     def __init__(self, output_dir: str, run_name: str = "train",
                  wandb_project: str | None = None, wandb_entity: str | None = None,
@@ -41,7 +79,8 @@ class MetricsLogger:
                 self._wandb = None
 
     def log(self, metrics: Mapping[str, Any], step: int | None = None) -> None:
-        rec = {k: _to_py(v) for k, v in metrics.items()}
+        rec = {k: (list(v) if isinstance(v, (list, tuple)) else _to_py(v))
+               for k, v in metrics.items()}
         rec["_time"] = round(time.time() - self._t0, 3)
         if step is not None:
             rec["_step"] = int(step)

@@ -209,3 +209,32 @@ def test_zero_length_pad_rows_contribute_nothing(setup):
     for a, b in zip(jax.tree_util.tree_leaves(s_a.disc_params),
                     jax.tree_util.tree_leaves(s_b.disc_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_grad_norm_metrics(setup):
+    """log_grad_norms adds finite per-component gradient norms (the
+    in-graph half of the wandb.watch equivalent, reference train.py:333)."""
+    cfg, state, mel, lengths = setup
+    step = make_train_step(cfg, train_d=True, donate=False,
+                           log_grad_norms=True)
+    _, metrics = step(state, mel, lengths)
+    assert "grad_norm/gen" in metrics and "grad_norm/disc" in metrics
+    comp_keys = [k for k in metrics if k.startswith("grad_norm/gen/")]
+    assert len(comp_keys) >= 5  # proj, pre, post, encoder/decoder blocks...
+    for k in ["grad_norm/gen", "grad_norm/disc", *comp_keys]:
+        v = float(metrics[k])
+        assert np.isfinite(v) and v >= 0, k
+    assert float(metrics["grad_norm/gen"]) > 0
+
+
+def test_tree_stats_summaries():
+    from mqgan_tpu.utils.logging import tree_stats
+
+    tree = {"block": {"kernel": np.ones((4, 4), np.float32),
+                      "bias": np.zeros((4,), np.float32)},
+            "proj": {"kernel": np.full((2, 2), -2.0, np.float32)}}
+    s = tree_stats(tree, prefix="param")
+    assert s["param/block/l2"] == pytest.approx(4.0)
+    assert s["param/proj/mean"] == pytest.approx(-2.0)
+    assert len(s["param/block/hist"]) == 16
+    assert sum(s["param/block/hist"]) == 20
