@@ -44,6 +44,22 @@ class ISTFTNetFE:
         wav = np.asarray(self(mel)).squeeze()
         return (wav * MAX_WAV_VALUE).astype(np.int16)
 
+    def infer_cpuistft(self, mel) -> np.ndarray:
+        """mel -> int16 PCM with the inverse STFT pinned to the host CPU
+        (reference istftnetfe.py:19-30): the generator runs on whatever
+        device it is bound to; spec/phase come back to the host and the
+        OLA runs on a CPU-placed jit — useful when the accelerator should
+        only hold the network, or for exact-fp32 synthesis tails."""
+        import jax
+
+        spec, phase = self.gen(mel)
+        cpu = jax.devices("cpu")[0]
+        spec = jax.device_put(np.asarray(spec), cpu)
+        phase = jax.device_put(np.asarray(phase), cpu)
+        with jax.default_device(cpu):
+            wav = np.asarray(self.stft.inverse(spec, phase)).squeeze()
+        return (wav * MAX_WAV_VALUE).astype(np.int16)
+
     # -- artifact round-trip (reference export_ts/load_ts, :39-79) --------
     def export_ts(self, out_dir: str, sampling_rate: int, mel_channels: int = 160,
                   example_frames: int = 600):

@@ -55,6 +55,11 @@ def test_vocoder_fe_integration(small_gen, rng):
     assert abs(wav.shape[2] - T_FRAMES * total_hop) <= gen.istft_n_fft
     pcm = fe.infer(mel)
     assert pcm.dtype == np.int16
+    # CPU-pinned inverse STFT variant (reference infer_cpuistft,
+    # istftnetfe.py:19-30) matches the default path
+    pcm_cpu = fe.infer_cpuistft(mel)
+    assert pcm_cpu.dtype == np.int16
+    np.testing.assert_allclose(pcm_cpu, pcm, atol=1)
 
 
 def test_mr_stft_loss_properties(rng):
