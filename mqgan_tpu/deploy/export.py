@@ -146,6 +146,9 @@ def verify_export(out_dir: str) -> None:
 
 
 def main(argv=None):
+    from mqgan_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # honor JAX_PLATFORMS even under site overrides
     p = argparse.ArgumentParser(
         description="Export a trained PreEncoder to deployable StableHLO."
     )

@@ -223,6 +223,9 @@ def reencode_spectrograms(
 
 
 def main(argv=None):
+    from mqgan_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # honor JAX_PLATFORMS even under site overrides
     p = argparse.ArgumentParser(description="Re-encode mel datasets through the codec.")
     p.add_argument("--input_dir", required=True)
     p.add_argument("--output_dir", required=True)

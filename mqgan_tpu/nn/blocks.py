@@ -21,6 +21,15 @@ from mqgan_tpu.nn.norm import ChannelLayerNorm, InstanceNorm1d
 
 
 class ResidualBlock1D(nn.Module):
+    """fused=True runs the whole block (convs as shifted MXU matmuls + CBAM
+    gate chain + tail) as one Pallas kernel (ops/block_kernels.py) with the
+    (T, C) slab resident in VMEM.  Inference-only (deterministic),
+    "weight"-norm blocks with taptx act, dilation 1, and lane-aligned
+    channels; assumes contiguous pad masks (the framework convention).  The
+    param tree is identical either way, so the flag can be flipped on a
+    trained checkpoint; other configurations silently fall back to the XLA
+    path, which remains the default and the parity reference."""
+
     in_channels: int
     out_channels: int
     kernel_size: int = 3
@@ -29,6 +38,7 @@ class ResidualBlock1D(nn.Module):
     act: str = "relu"
     causal: bool = False
     norm: str = "layer"  # "weight" | "layer" | "instance"
+    fused: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -59,13 +69,55 @@ class ResidualBlock1D(nn.Module):
 
         act = make_activation(self.act)
 
-        if self.in_channels != self.out_channels:
-            residual = conv1d(
-                self.out_channels, 1, use_weight_norm=False, dtype=self.dtype,
-                name="residual",
-            )(x)
-        else:
-            residual = x
+        has_proj = self.in_channels != self.out_channels
+        proj = (
+            conv1d(self.out_channels, 1, use_weight_norm=False,
+                   dtype=self.dtype, name="residual")
+            if has_proj else None
+        )
+        cbam = (
+            CBAM1D(channels=self.out_channels, causal=False, dtype=self.dtype,
+                   name="cbam")
+            if not self.causal else None
+        )
+        mask = (pad_mask if pad_mask is not None
+                else jnp.zeros(x.shape[:2], bool))
+
+        use_fused = (
+            self.fused and deterministic and self.norm == "weight"
+            and self.act == "taptx" and self.dilation == 1
+            and self.in_channels % 128 == 0 and self.out_channels % 128 == 0
+        )
+        if use_fused:
+            from mqgan_tpu.ops.block_kernels import fused_residual_block
+
+            # Tiny dummy calls declare every submodule's params (identical
+            # tree to the XLA path); their outputs are unused and DCE'd
+            # under jit.  The kernel then consumes the raw param values.
+            da = conv_a(x[:1, :8])
+            _ = conv_b(da)
+            _ = act(da)
+            params = {"conv1": conv_a.variables["params"],
+                      "conv2": conv_b.variables["params"]}
+            if proj is not None:
+                _ = proj(x[:1, :8])
+                params["residual"] = proj.variables["params"]
+            if cbam is not None:
+                _ = cbam(da, mask[:1, :8])
+                params["cbam"] = cbam.variables["params"]
+            lengths = jnp.sum(~mask, axis=1).astype(jnp.int32)
+            out = fused_residual_block(
+                x.astype(self.dtype or x.dtype), lengths, params,
+                kernel_size=self.kernel_size, causal=self.causal,
+                act_beta=act.variables["params"]["beta"],
+                act_gamma=act.variables["params"]["gamma"],
+            )
+            # XLA path's result dtype: the identity residual add promotes
+            # with the input dtype (e.g. fp32 x through a bf16 block)
+            return out.astype(jnp.promote_types(x.dtype,
+                                                self.dtype or x.dtype))
+
+        residual = proj(x) if proj is not None else x
 
         out = conv_a(x)
         out = make_norm("norm1")(out)
@@ -74,11 +126,8 @@ class ResidualBlock1D(nn.Module):
 
         out = conv_b(out)
         out = make_norm("norm2")(out)
-        if not self.causal:
-            out = CBAM1D(
-                channels=self.out_channels, causal=False, dtype=self.dtype,
-                name="cbam",
-            )(out, pad_mask if pad_mask is not None else jnp.zeros(out.shape[:2], bool))
+        if cbam is not None:
+            out = cbam(out, mask)
         out = out + residual
         out = apply_mask(out, pad_mask)
         out = act(out)

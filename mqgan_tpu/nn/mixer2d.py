@@ -22,12 +22,20 @@ from mqgan_tpu.nn.conv import WNConv
 
 
 class MelMixer2D(nn.Module):
+    """fused=True evaluates the whole mixer as one Pallas kernel
+    (ops/mixer_kernels.py) that never materializes the (B, T, C, features)
+    hidden.  Inference-only (deterministic), depthwise variant with the
+    fixed aptx act and lane-aligned C; assumes contiguous pad masks.  Param
+    tree is unchanged; unsupported configs fall back to the XLA path, which
+    stays the default and the parity reference."""
+
     features: int  # pointwise expansion width (== channels[0] in reference)
     kernel_size: int = 5
     depthwise: bool = True
     use_weight_norm: bool = True
     act: str = "aptx"
     dropout: float = 0.1
+    fused: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -44,6 +52,36 @@ class MelMixer2D(nn.Module):
             if pad_mask is None:
                 return t
             return jnp.where(pad_mask[:, :, None, None], jnp.zeros((), t.dtype), t)
+
+        use_fused = (
+            self.fused and deterministic and not return_hidden
+            and self.depthwise and self.act == "aptx"
+            and x.shape[-1] % 128 == 0
+        )
+        if use_fused:
+            from mqgan_tpu.ops.mixer_kernels import fused_mel_mixer
+
+            k = (self.kernel_size, self.kernel_size)
+            dw = WNConv(1, k, use_weight_norm=self.use_weight_norm,
+                        dtype=self.dtype, name="dw")
+            pw = WNConv(self.features, (1, 1),
+                        use_weight_norm=self.use_weight_norm,
+                        dtype=self.dtype, name="pw")
+            co = WNConv(1, (1, 1), use_weight_norm=False, dtype=self.dtype,
+                        name="conv_out")
+            # tiny dummy calls declare the identical param tree; outputs
+            # are unused and DCE'd under jit
+            d = dw(img[:1, :8, :8])
+            d = pw(d)
+            _ = co(d)
+            mask = (pad_mask if pad_mask is not None
+                    else jnp.zeros(x.shape[:2], bool))
+            lengths = jnp.sum(~mask, axis=1).astype(jnp.int32)
+            params = {"dw": dw.variables["params"],
+                      "pw": pw.variables["params"],
+                      "conv_out": co.variables["params"]}
+            return fused_mel_mixer(
+                x.astype(self.dtype or x.dtype), lengths, params)
 
         k = (self.kernel_size, self.kernel_size)
         if self.depthwise:

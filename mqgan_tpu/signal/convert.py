@@ -139,6 +139,9 @@ def run(config: SpecConfig, num_workers: int | None = None):
 
 
 def main(argv=None):
+    from mqgan_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # honor JAX_PLATFORMS even under site overrides
     parser = argparse.ArgumentParser(
         description="Convert audio files to log-mel spectrograms."
     )

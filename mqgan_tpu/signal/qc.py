@@ -216,6 +216,9 @@ def scan_and_move(src_dir, bad_dir, csv_path, expect_bins=None,
 
 
 def main(argv=None):
+    from mqgan_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # honor JAX_PLATFORMS even under site overrides
     parser = argparse.ArgumentParser(
         description="Statistical QC for log-mel .npy datasets: quarantine "
                     "degenerate clips and write a CSV audit log.")

@@ -140,6 +140,9 @@ def batches(ds: MusicChunkDataset, idxs, batch_size, pad_id, rng: np.random.Gene
 
 
 def main(argv=None):
+    from mqgan_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # honor JAX_PLATFORMS even under site overrides
     p = argparse.ArgumentParser(description="Train a genre-conditioned LSTM token LM.")
     p.add_argument("--chunks_dir", default="musicmels")
     p.add_argument("--mapping_json", default="fname_to_id.json")

@@ -356,6 +356,9 @@ class Trainer:
 
 
 def main(argv=None):
+    from mqgan_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # honor JAX_PLATFORMS even under site overrides
     parser = argparse.ArgumentParser(description="Train an MQGAN-TPU model.")
     parser.add_argument("--config", type=str, default="config.yaml")
     parser.add_argument("--pretrained", type=str, default=None)

@@ -82,6 +82,9 @@ class SegmentSampler:
 
 
 def main(argv=None):
+    from mqgan_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()  # honor JAX_PLATFORMS even under site overrides
     p = argparse.ArgumentParser(description="Pretrain the iSTFTNet-style vocoder.")
     p.add_argument("--wav_dir", required=True)
     p.add_argument("--spec_config", required=True)

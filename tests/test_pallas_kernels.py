@@ -73,3 +73,64 @@ def test_fsq_encode_head_odd_sizes(rng):
     z = h @ kernel
     want = np.asarray(codes_to_indices(quantize(jnp.asarray(z), spec), spec))
     np.testing.assert_array_equal(got, want)
+
+
+# --- fused ResidualBlock1D (ops/block_kernels.py) ---------------------------
+
+from mqgan_tpu.core.masking import sequence_mask
+from mqgan_tpu.nn.blocks import ResidualBlock1D
+
+
+@pytest.mark.parametrize(
+    "cin,cout,k,causal",
+    [(128, 128, 3, False), (128, 256, 5, False),
+     (256, 128, 7, True), (128, 128, 3, True)],
+)
+def test_fused_block_matches_xla(rng, cin, cout, k, causal):
+    """Whole-block Pallas fusion == XLA path (fp32, ragged lengths)."""
+    b, t = 3, 37
+    x = jnp.asarray(rng.standard_normal((b, t, cin)).astype(np.float32))
+    mask = sequence_mask(t, jnp.asarray([t, 20, 1], jnp.int32))
+    kw = dict(kernel_size=k, act="taptx", causal=causal, norm="weight")
+    blk = ResidualBlock1D(cin, cout, **kw)
+    params = blk.init(jax.random.PRNGKey(0), x, mask, True)
+    ref = blk.apply(params, x, mask, True)
+
+    fused = ResidualBlock1D(cin, cout, fused=True, **kw)
+    got = fused.apply(params, x, mask, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    # identical param trees: the flag can flip on a trained checkpoint
+    p2 = fused.init(jax.random.PRNGKey(0), x, mask, True)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+
+
+def test_fused_block_unsupported_config_falls_back(rng):
+    """Non-weight norm silently uses the XLA path (still correct)."""
+    b, t, c = 2, 16, 128
+    x = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    mask = sequence_mask(t, jnp.asarray([t, 9], jnp.int32))
+    kw = dict(kernel_size=3, act="taptx", causal=False, norm="layer")
+    blk = ResidualBlock1D(c, c, **kw)
+    params = blk.init(jax.random.PRNGKey(0), x, mask, True)
+    got = ResidualBlock1D(c, c, fused=True, **kw).apply(params, x, mask, True)
+    ref = blk.apply(params, x, mask, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref))
+
+
+def test_fused_block_no_mask_and_bf16(rng):
+    """pad_mask=None and bf16 compute both work through the fused path."""
+    b, t, c = 2, 24, 128
+    x32 = rng.standard_normal((b, t, c)).astype(np.float32)
+    kw = dict(kernel_size=3, act="taptx", causal=False, norm="weight",
+              dtype=jnp.bfloat16)
+    blk = ResidualBlock1D(c, c, **kw)
+    params = blk.init(jax.random.PRNGKey(0), jnp.asarray(x32), None, True)
+    ref = blk.apply(params, jnp.asarray(x32), None, True)
+    got = ResidualBlock1D(c, c, fused=True, **kw).apply(
+        params, jnp.asarray(x32), None, True)
+    assert got.dtype == ref.dtype
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=0.1, rtol=0.1)
