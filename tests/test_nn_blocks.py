@@ -216,6 +216,30 @@ def test_unet_refiner_shapes_and_mask(rng, t):
     assert np.isfinite(out).all()
 
 
+@pytest.mark.parametrize("cin,cout", [(1, 64), (64, 64), (6, 4)])
+def test_packed_convblock_matches_plain(rng, cin, cout):
+    """Packed-W ConvBlock == plain ConvBlock: same params, same output."""
+    from mqgan_tpu.nn.unet import ConvBlock
+
+    x = jnp.asarray(rng.standard_normal((2, 6, 10, cin)).astype(np.float32))
+    m = sequence_mask(6, jnp.array([6, 4]))
+    plain = ConvBlock(cout, dropout=0.1)
+    params = plain.init(jax.random.key(0), x, m, True)
+    ref = plain.apply(params, x, m, True)
+
+    packed = ConvBlock(cout, dropout=0.1, packed=True)
+    p2 = packed.init(jax.random.key(0), x, m, True)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+    got = packed.apply(params, x, m, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-6)
+
+    # odd W falls back to the plain path
+    odd = packed.apply(params, x[:, :, :9], m, True)
+    want = plain.apply(params, x[:, :, :9], m, True)
+    np.testing.assert_allclose(np.asarray(odd), np.asarray(want))
+
+
 def test_se_layer_masked(rng):
     x = rng.standard_normal((2, 6, 8, 4)).astype(np.float32)
     m = np.zeros((2, 6, 8), bool)
