@@ -101,6 +101,10 @@ class GeneratorConfig:
     refiner_base_channels: int = 64
     refiner_depth: int = 3
     refiner_hidden_proj_divisor: int = 8
+    # rematerialize mixer/refiner activations in the backward pass: trades
+    # ~one extra forward through those modules for the memory that otherwise
+    # blocks large-batch training (B=64 flagship OOMs without it)
+    remat: bool = False
 
     @property
     def codebook_size(self) -> int:

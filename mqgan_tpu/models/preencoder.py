@@ -42,6 +42,12 @@ class PreEncoder(nn.Module):
     refiner_depth: int = 3
     refiner_hidden_proj_divisor: int = 8
     fsq_noise_dropout: float = 0.0
+    # Memory-relief mode for large-batch training: evaluate the mel-mixer
+    # pointwise-MLPs in checkpointed time chunks so their APTx hiddens —
+    # (B, T, mel, channels[0]), 8 GB apiece at B=64 T=256 flagship, the
+    # tensors that otherwise OOM one chip (measured 29.1 G of 15.75 G HBM)
+    # — never materialize. Only the chunked stages recompute in backward.
+    remat: bool = False
     dtype: jnp.dtype | None = None
 
     @classmethod
@@ -56,6 +62,7 @@ class PreEncoder(nn.Module):
             refiner_depth=cfg.refiner_depth,
             refiner_hidden_proj_divisor=cfg.refiner_hidden_proj_divisor,
             fsq_noise_dropout=cfg.fsq_noise_dropout,
+            remat=cfg.remat,
             dtype=dtype,
         )
 
@@ -76,10 +83,19 @@ class PreEncoder(nn.Module):
 
     def setup(self):
         ch = self.channels
+        # __call__ args: (self, x, pad_mask, deterministic, return_hidden)
+        # remat == chunk the mixer hiddens: the (B, T, mel, ch[0]) hiddens
+        # (8 GB each at flagship B=64 T=256) are what OOMs large batches;
+        # per-chunk checkpointing alone removes them. Module-level remat of
+        # the mixers/refiner on top was measured strictly worse (the remat
+        # recompute re-materializes the mixer work a second time and the
+        # refiner recompute costs ~a full extra forward for ~1 GB of temps).
+        mixer_chunk = 32 if self.remat else None
         self.proj = nn.Dense(ch[0], dtype=self.dtype, name="proj")
         self.pre = MelMixer2D(
             features=ch[0], kernel_size=5, depthwise=True, act="aptx",
-            dropout=0.1, dtype=self.dtype, name="pre",
+            dropout=0.1, hidden_chunk_t=mixer_chunk, dtype=self.dtype,
+            name="pre",
         )
         self.encoder_blocks = [
             ResidualBlock1D(
@@ -109,7 +125,8 @@ class PreEncoder(nn.Module):
         ]
         self.post = MelMixer2D(
             features=ch[0], kernel_size=5, depthwise=True, act="aptx",
-            dropout=0.1, dtype=self.dtype, name="post",
+            dropout=0.1, hidden_chunk_t=mixer_chunk, dtype=self.dtype,
+            name="post",
         )
         self.out_proj = nn.Dense(self.mel_channels, dtype=self.dtype, name="out_proj")
 
@@ -128,7 +145,8 @@ class PreEncoder(nn.Module):
     # ------------------------------------------------------------------
     def _encode_trunk(self, x, pad_mask, deterministic):
         h = self.proj(x)
-        h = self.pre(h, pad_mask, deterministic=deterministic)
+        # positional: remat static_argnums applies to positional args only
+        h = self.pre(h, pad_mask, deterministic, False)
         for block in self.encoder_blocks:
             h = block(h, pad_mask, deterministic=deterministic)
         return self.q_in_proj(h)
@@ -138,7 +156,7 @@ class PreEncoder(nn.Module):
         for block in self.decoder_blocks:
             h = block(h, pad_mask, deterministic=deterministic)
         decoder_out = h
-        r = self.post(decoder_out, pad_mask, deterministic=deterministic)
+        r = self.post(decoder_out, pad_mask, deterministic, False)
         x_recon = self.out_proj(r)
         return x_recon, decoder_out
 

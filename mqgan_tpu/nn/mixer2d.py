@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mqgan_tpu.core.masking import apply_mask
-from mqgan_tpu.nn.activations import make_activation
+from mqgan_tpu.nn.activations import aptx, make_activation
 from mqgan_tpu.nn.conv import WNConv
 
 
@@ -36,6 +36,15 @@ class MelMixer2D(nn.Module):
     act: str = "aptx"
     dropout: float = 0.1
     fused: bool = False
+    # hidden_chunk_t: evaluate the pointwise-MLP (pw -> act -> dropout ->
+    # conv_out) in sequential chunks of this many time frames so the
+    # (B, T, C, features) hidden never materializes at once — at flagship
+    # B=64 T=256 that hidden is 8 GB bf16 and is what blocks large-batch
+    # training (each chunk is checkpointed, so the backward stores only the
+    # (B, T, C) dw output).  None = plain whole-tensor path (the parity
+    # reference).  Same math; the dropout draw differs bitwise from the
+    # plain path (iid elementwise either way).
+    hidden_chunk_t: int | None = None
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -82,6 +91,73 @@ class MelMixer2D(nn.Module):
                       "conv_out": co.variables["params"]}
             return fused_mel_mixer(
                 x.astype(self.dtype or x.dtype), lengths, params)
+
+        use_chunked = (
+            self.hidden_chunk_t is not None and self.depthwise
+            and not return_hidden and self.act == "aptx"
+        )
+        if use_chunked:
+            k = (self.kernel_size, self.kernel_size)
+            dw_out = WNConv(1, k, use_weight_norm=self.use_weight_norm,
+                            dtype=self.dtype, name="dw")(img)
+            dw_out = mask4(dw_out)
+            pw = WNConv(self.features, (1, 1),
+                        use_weight_norm=self.use_weight_norm,
+                        dtype=self.dtype, name="pw")
+            co = WNConv(1, (1, 1), use_weight_norm=False, dtype=self.dtype,
+                        name="conv_out")
+            # tiny dummy calls declare the identical param tree (pattern as
+            # the fused path); outputs are unused and DCE'd under jit
+            d = pw(dw_out[:1, :1, :1])
+            _ = co(d)
+            cdt = self.dtype or x.dtype
+            pp = pw.variables["params"]
+            if self.use_weight_norm:
+                from mqgan_tpu.nn.conv import weight_norm_kernel
+                w1 = weight_norm_kernel(pp["v"], pp["g"], cdt).reshape(-1)
+            else:
+                w1 = pp["kernel"].astype(cdt).reshape(-1)
+            b1 = pp["bias"].astype(cdt)
+            cp = co.variables["params"]
+            w2 = cp["kernel"].astype(cdt).reshape(-1)  # (features,)
+            b2 = cp["bias"].astype(cdt)  # (1,)
+
+            b, t, c, _ = dw_out.shape
+            tc = min(self.hidden_chunk_t, t)
+            n = -(-t // tc)
+            pad_t = n * tc - t
+            s = dw_out[..., 0]  # (B, T, C)
+            if pad_mask is not None:
+                pm = pad_mask
+            else:
+                pm = jnp.zeros((b, t), bool)
+            if pad_t:
+                s = jnp.pad(s, ((0, 0), (0, pad_t), (0, 0)))
+                pm = jnp.pad(pm, ((0, 0), (0, pad_t)), constant_values=True)
+            s = s.reshape(b, n, tc, c).transpose(1, 0, 2, 3)
+            pm = pm.reshape(b, n, tc).transpose(1, 0, 2)
+            use_dropout = not deterministic and self.dropout > 0.0
+            if use_dropout:
+                keys = jax.random.split(self.make_rng("dropout"), n)
+            else:  # unused placeholder with a matching leading axis
+                keys = jnp.zeros((n,), jnp.uint32)
+
+            keep_p = 1.0 - self.dropout
+
+            @jax.checkpoint
+            def chunk_fn(args):
+                sc, mc, key = args  # (B, tc, C), (B, tc), key or dummy
+                h = sc[..., None] * w1 + b1  # (B, tc, C, features)
+                h = jnp.where(mc[:, :, None, None], jnp.zeros((), h.dtype), h)
+                h = aptx(h)  # fixed aptx, same as the plain path's act
+                if use_dropout:
+                    keep = jax.random.bernoulli(key, keep_p, h.shape)
+                    h = jnp.where(keep, h / keep_p, jnp.zeros((), h.dtype))
+                return jnp.einsum("btcf,f->btc", h, w2) + b2[0]
+
+            out = jax.lax.map(chunk_fn, (s, pm, keys))
+            out = out.transpose(1, 0, 2, 3).reshape(b, n * tc, c)
+            return out[:, :t]
 
         k = (self.kernel_size, self.kernel_size)
         if self.depthwise:

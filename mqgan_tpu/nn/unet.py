@@ -139,6 +139,9 @@ class UNetRefiner(nn.Module):
     dropout: float = 0.1
     out_features: int = 128  # mel channels (reproj output)
     dtype: jnp.dtype | None = None
+    # remat=True recomputes each ConvBlock in the backward pass (stores only
+    # block inputs): large-batch training memory relief, see PreEncoder.remat
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -160,12 +163,15 @@ class UNetRefiner(nn.Module):
             m = pad_mask
 
         chs = [self.base_ch * (2 ** i) for i in range(self.depth + 1)]
+        # __call__ args: (self, x, m, deterministic) — call sites positional
+        block = (nn.remat(ConvBlock, static_argnums=(3,))
+                 if self.remat else ConvBlock)
 
         # the pre level runs at C=chs[0] over the full-resolution image; for
         # small base channels plain convs waste MXU lanes (see ConvBlock),
         # so evaluate it packed (numerically identical, same params)
-        h = ConvBlock(chs[0], self.dropout, packed=chs[0] <= 64,
-                      dtype=self.dtype, name="pre")(img, m, deterministic)
+        h = block(chs[0], self.dropout, packed=chs[0] <= 64,
+                  dtype=self.dtype, name="pre")(img, m, deterministic)
 
         skips, masks = [], []
         cur_mask = m
@@ -176,11 +182,11 @@ class UNetRefiner(nn.Module):
             b, t, f, c = h.shape
             h = h[:, : (t // 2) * 2].reshape(b, t // 2, 2, f, c).mean(axis=2)
             cur_mask = _downsample_mask(cur_mask) if cur_mask is not None else None
-            h = ConvBlock(chs[i + 1], self.dropout, self.dtype, name=f"down{i}")(
+            h = block(chs[i + 1], self.dropout, self.dtype, name=f"down{i}")(
                 h, cur_mask, deterministic
             )
 
-        h = ConvBlock(chs[-1], self.dropout, self.dtype, name="mid")(
+        h = block(chs[-1], self.dropout, self.dtype, name="mid")(
             h, cur_mask, deterministic
         )
 
@@ -190,7 +196,7 @@ class UNetRefiner(nn.Module):
             cur_mask = _upsample_mask(cur_mask) if cur_mask is not None else None
             skip = _crop_to_match(skips.pop(), h)
             h = jnp.concatenate([h, skip], axis=-1)
-            h = ConvBlock(
+            h = block(
                 chs[self.depth - i - 1], self.dropout, self.dtype, name=f"up{i}"
             )(h, cur_mask, deterministic)
 

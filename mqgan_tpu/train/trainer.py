@@ -373,6 +373,11 @@ def main(argv=None):
                         help="every N steps, log per-component gradient "
                              "norms and parameter distribution summaries "
                              "(wandb.watch equivalent)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize mixer/refiner activations in "
+                             "the backward pass (enables large-batch "
+                             "training that otherwise OOMs; ~15%% slower "
+                             "per step at equal batch)")
     parser.add_argument("--multihost", action="store_true",
                         help="multi-host (multi-slice) run: initialize "
                              "jax.distributed, shard train files per host, "
@@ -403,6 +408,12 @@ def main(argv=None):
         config = dataclasses.replace(
             config, data=dataclasses.replace(config.data,
                                              output_dir=args.output_dir)
+        )
+    if args.remat:
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(
+                config.model, generator=dataclasses.replace(
+                    config.model.generator, remat=True))
         )
 
     trainer = Trainer(

@@ -203,6 +203,29 @@ def test_mel_mixer_shapes_and_mask(rng):
     np.testing.assert_allclose(np.asarray(out_h), out, atol=1e-6)
 
 
+@pytest.mark.parametrize("chunk", [8, 5, 64])  # divides T, ragged, > T
+def test_mel_mixer_chunked_hidden_matches_plain(rng, chunk):
+    """hidden_chunk_t (bounded-memory hidden) == whole-tensor path."""
+    x = jnp.asarray(rng.standard_normal((2, 21, 12)).astype(np.float32))
+    m = sequence_mask(21, jnp.array([21, 13]))
+    plain = MelMixer2D(features=24)
+    params = plain.init(jax.random.key(0), x, m, True)
+    chunked = MelMixer2D(features=24, hidden_chunk_t=chunk)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(
+                chunked.init(jax.random.key(0), x, m, True)))
+    for mask in (m, None):
+        ref = plain.apply(params, x, mask, True)
+        got = chunked.apply(params, x, mask, True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-6)
+    # training path: dropout draws differ bitwise; grads must flow finite
+    g = jax.grad(lambda p: jnp.sum(chunked.apply(
+        p, x, m, False, rngs={"dropout": jax.random.key(3)}) ** 2))(params)
+    assert all(bool(jnp.all(jnp.isfinite(l)))
+               for l in jax.tree_util.tree_leaves(g))
+
+
 @pytest.mark.parametrize("t", [24, 29])  # non-multiple of 2^depth too
 def test_unet_refiner_shapes_and_mask(rng, t):
     f = 36  # mel(32) + hidden(4)
