@@ -105,42 +105,64 @@ def bench_wav_to_mel():
     }
 
 
-def _bench_train(cfg, mel_ch, tag):
+PRACTICAL_PEAK_FLOPS = 216e12  # measured bf16 peak, benchmarks/README.md
+
+
+def _bench_train(cfg, mel_ch, tag, b=16, t=256, remat=False):
     import jax
     import jax.numpy as jnp
 
     from mqgan_tpu.train.state import create_train_state
     from mqgan_tpu.train.step import build_models, make_train_step
 
-    b, t = 16, 256
+    if remat:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, generator=dataclasses.replace(
+                cfg.model.generator, remat=True)))
     gen, patch, mb = build_models(cfg, jnp.bfloat16)
     rng = np.random.default_rng(0)
     mels = [jnp.asarray(rng.standard_normal((b, t, mel_ch)).astype(np.float32))
             for _ in range(ITERS + 2)]
     lens = jnp.full((b,), t, jnp.int32)
     k = jax.random.key(0)
-    state, _, _ = create_train_state(
+    state0, _, _ = create_train_state(
         gen_variables=jax.jit(gen.init)(k, mels[0], lens),
         patch_variables=jax.jit(patch.init)(k, mels[0], lens),
         multibin_variables=jax.jit(mb.init)(k, mels[0], lens),
         training_cfg=cfg.training, rng=k,
     )
-    out = {"config": tag, "batch": b, "frames": t}
+    out = {"config": tag, "batch": b, "frames": t, "remat": remat}
     for phase, train_d in [("warmup", False), ("gan", True)]:
-        step = make_train_step(cfg, train_d=train_d, dtype=jnp.bfloat16,
-                               donate=False)
-        # warm/compile
-        _, m = step(state, mels[-1], lens)
+        step = make_train_step(cfg, train_d=train_d, dtype=jnp.bfloat16)
+        # compile once via AOT (also yields the XLA FLOP count for MFU),
+        # then call the compiled executable directly — the jit cache is not
+        # populated by lower().compile(), and a second compile through the
+        # tunnel costs minutes
+        state = jax.tree_util.tree_map(jnp.copy, state0)
+        compiled = step.lower(state, mels[0], lens).compile()
+        try:
+            flops = (compiled.cost_analysis() or {}).get("flops", 0.0)
+        except Exception:
+            flops = 0.0
+        # steady-state: chain the donated state, submit every step's
+        # dispatch, then force each step's metrics to host
+        state, m = compiled(state, mels[-1], lens)
         float(m["loss_g_total"])
-        ts = []
+        t0 = time.perf_counter()
+        ms = []
         for i in range(ITERS):
-            t0 = time.perf_counter()
-            _, m = step(state, mels[i], lens)
+            state, m = compiled(state, mels[i], lens)
+            ms.append(m)
+        for m in ms:
             float(m["loss_g_total"])
-            ts.append(time.perf_counter() - t0)
-        med = sorted(ts)[len(ts) // 2]
-        out[f"{phase}_ms_per_step"] = round(med * 1000, 1)
-        out[f"{phase}_frames_per_sec"] = round(b * t / med, 1)
+        per = (time.perf_counter() - t0) / ITERS
+        out[f"{phase}_ms_per_step"] = round(per * 1000, 1)
+        out[f"{phase}_frames_per_sec"] = round(b * t / per, 1)
+        if flops:
+            out[f"{phase}_mfu_vs_practical_peak"] = round(
+                flops / per / PRACTICAL_PEAK_FLOPS, 3)
     return out
 
 
@@ -148,6 +170,14 @@ def bench_train_hifispeech():
     from mqgan_tpu.core.config import TrainConfig
 
     return _bench_train(TrainConfig.from_dict({}), 128, "3_train_step_hifispeech")
+
+
+def bench_train_hifispeech_b64():
+    """Large-batch variant: B=64 with remat (checkpoint-chunked mixers)."""
+    from mqgan_tpu.core.config import TrainConfig
+
+    return _bench_train(TrainConfig.from_dict({}), 128,
+                        "3b_train_step_hifispeech_b64", b=64, remat=True)
 
 
 def bench_train_hifimusic():
@@ -202,6 +232,7 @@ BENCHES = {
     "1": bench_single_mel,
     "2": bench_wav_to_mel,
     "3": bench_train_hifispeech,
+    "3b": bench_train_hifispeech_b64,
     "4": bench_train_hifimusic,
     "5": bench_directory_scale,
 }
@@ -209,8 +240,9 @@ BENCHES = {
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--configs", nargs="+", default=list("12345"),
-                   choices=list("12345"))
+    p.add_argument("--configs", nargs="+",
+                   default=["1", "2", "3", "3b", "4", "5"],
+                   choices=["1", "2", "3", "3b", "4", "5"])
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results.json"))
     args = p.parse_args()

@@ -196,6 +196,9 @@ class UNetRefiner(nn.Module):
             cur_mask = _upsample_mask(cur_mask) if cur_mask is not None else None
             skip = _crop_to_match(skips.pop(), h)
             h = jnp.concatenate([h, skip], axis=-1)
+            # note: packing the up blocks was measured and is a large LOSS
+            # in the train step (wide concat Cin doubles the dominant conv);
+            # only the pre level packs (1->64->64)
             h = block(
                 chs[self.depth - i - 1], self.dropout, self.dtype, name=f"up{i}"
             )(h, cur_mask, deterministic)

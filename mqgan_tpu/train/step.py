@@ -118,24 +118,36 @@ def make_train_step(
         # ---- 2. discriminator update --------------------------------
         if train_d:
             fake = jax.lax.stop_gradient(recon_post)
+            b = mel_c.shape[0]
+            # one (2B) batched forward per discriminator instead of separate
+            # real/fake calls: convs and SE are per-sample, so each row is
+            # bitwise identical to the separate-call result, at half the op
+            # count (one spectral-norm power-iteration step per D update,
+            # as before)
+            both = jnp.concatenate([mel_c, fake], axis=0)
+            lengths2 = jnp.concatenate([lengths, lengths], axis=0)
 
             def d_loss_fn(dp):
                 vp = {"params": dp["patch"],
                       "batch_stats": state.disc_stats["patch"]}
-                (r_logits, r_mask), p_upd = patch.apply(
-                    vp, mel_c, lengths, False, True, mutable=["batch_stats"]
+                (logits, mask), p_upd = patch.apply(
+                    vp, both, lengths2, False, True, mutable=["batch_stats"]
                 )
-                f_logits, f_mask = patch.apply(vp, fake, lengths)
+                r_logits, f_logits = logits[:b], logits[b:]
+                r_mask, f_mask = mask[:b], mask[b:]
                 loss_d1, lecam = discriminator_loss(
                     r_logits, f_logits, r_mask, f_mask, state=state.lecam
                 )
 
                 vm = {"params": dp["multibin"],
                       "batch_stats": state.disc_stats["multibin"]}
-                (r_l2, r_m2), m_upd = mb.apply(
-                    vm, mel_c, lengths, False, True, mutable=["batch_stats"]
+                (l2, m2), m_upd = mb.apply(
+                    vm, both, lengths2, False, True, mutable=["batch_stats"]
                 )
-                f_l2, f_m2 = mb.apply(vm, fake, lengths)
+                r_l2 = [t[:b] for t in l2]
+                f_l2 = [t[b:] for t in l2]
+                r_m2 = [t[:b] for t in m2]
+                f_m2 = [t[b:] for t in m2]
 
                 loss_mbd = jnp.zeros((), jnp.float32)
                 for i in range(n_bins):
@@ -185,12 +197,33 @@ def make_train_step(
             if train_d:
                 vp = {"params": new_disc_params["patch"],
                       "batch_stats": new_stats["patch"]}
-                g_logits, g_mask, g_feats = patch.apply(
-                    vp, r_post, lengths, True
-                )
                 vm = {"params": new_disc_params["multibin"],
                       "batch_stats": new_stats["multibin"]}
-                g_l2, g_m2, g_f2 = mb.apply(vm, r_post, lengths, True)
+                if use_fm:
+                    # batch generated + real rows (real needed for FM): one
+                    # forward per D; real rows carry no gradient (stop_grad
+                    # below), generated rows are bitwise identical to a
+                    # separate call
+                    both_g = jnp.concatenate([r_post, mel_c], axis=0)
+                    gl, gm, gf = patch.apply(vp, both_g, lengths2, True)
+                    g_logits, g_mask = gl[:b], gm[:b]
+                    g_feats = [(f[:b], m[:b]) for f, m in gf]
+                    real_feats = [
+                        (jax.lax.stop_gradient(f[b:]), m[b:]) for f, m in gf
+                    ]
+                    l2g, m2g, f2g = mb.apply(vm, both_g, lengths2, True)
+                    g_l2 = [t[:b] for t in l2g]
+                    g_m2 = [t[:b] for t in m2g]
+                    g_f2 = [[(f[:b], m[:b]) for f, m in fs] for fs in f2g]
+                    real_f2 = [
+                        [(jax.lax.stop_gradient(f[b:]), m[b:]) for f, m in fs]
+                        for fs in f2g
+                    ]
+                else:
+                    g_logits, g_mask, g_feats = patch.apply(
+                        vp, r_post, lengths, True
+                    )
+                    g_l2, g_m2, g_f2 = mb.apply(vm, r_post, lengths, True)
 
                 loss_gan_d1 = generator_loss(g_logits, g_mask)
                 loss_gan_mbd = jnp.zeros((), jnp.float32)
@@ -201,11 +234,8 @@ def make_train_step(
                 loss_gan = 0.5 * (loss_gan_d1 + loss_gan_mbd)
 
                 if use_fm:
-                    _, _, real_feats = patch.apply(vp, mel_c, lengths, True)
-                    _, _, real_f2 = mb.apply(vm, mel_c, lengths, True)
-                    real_feats = jax.lax.stop_gradient(real_feats)
-                    real_f2 = jax.lax.stop_gradient(real_f2)
-
+                    # real_feats / real_f2 came out of the batched forward
+                    # above, already stop_grad'ed
                     loss_fm_d1 = jnp.zeros((), jnp.float32)
                     for (rf, rmask), (ff, _) in zip(real_feats, g_feats):
                         loss_fm_d1 = loss_fm_d1 + masked_mae(ff, rf, rmask)
