@@ -293,6 +293,12 @@ def make_train_step(
             cb *= level
         usage = jnp.zeros((cb,), jnp.int32).at[indices.reshape(-1)].add(1)
         metrics["codebook_usage"] = jnp.mean((usage > 0).astype(jnp.float32))
+        # entropy-based collapse signal: perplexity of this batch's code
+        # distribution (== cb when uniform, -> 1 under collapse); usage
+        # fraction alone can look healthy while mass concentrates
+        p = usage.astype(jnp.float32) / jnp.maximum(jnp.sum(usage), 1)
+        ent = -jnp.sum(jnp.where(p > 0, p * jnp.log(p), 0.0))
+        metrics["codebook_perplexity"] = jnp.exp(ent)
 
         new_state = TrainState(
             step=state.step + 1,

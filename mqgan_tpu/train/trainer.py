@@ -373,6 +373,10 @@ def main(argv=None):
                         help="every N steps, log per-component gradient "
                              "norms and parameter distribution summaries "
                              "(wandb.watch equivalent)")
+    parser.add_argument("--compile_cache", type=str, default=None,
+                        help="persistent XLA compile-cache dir (or env "
+                             "MQGAN_COMPILATION_CACHE): re-runs skip the "
+                             "multi-minute train-step compiles")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize mixer/refiner activations in "
                              "the backward pass (enables large-batch "
@@ -388,6 +392,15 @@ def main(argv=None):
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
     args = parser.parse_args(argv)
+
+    import os as _os
+
+    cache = args.compile_cache or _os.environ.get("MQGAN_COMPILATION_CACHE")
+    if cache:
+        import jax as _jax
+
+        _jax.config.update("jax_compilation_cache_dir", cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if args.multihost:
         from mqgan_tpu.parallel.multihost import initialize

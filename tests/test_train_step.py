@@ -98,6 +98,10 @@ def test_warmup_step(setup):
     assert float(metrics["loss_recon_pre"]) > 0
     assert int(new_state.step) == 1
     assert 0 < float(metrics["codebook_usage"]) <= 1.0
+    cb = 1
+    for lv in cfg.model.generator.fsq_levels:
+        cb *= lv
+    assert 1.0 <= float(metrics["codebook_perplexity"]) <= cb + 1e-3
 
     # G params moved, D params untouched, lecam untouched
     assert not _tree_equal(new_state.gen_params, state.gen_params)
