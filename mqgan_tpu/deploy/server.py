@@ -1,0 +1,201 @@
+"""Micro-batching serving driver over an exported codec.
+
+Production-serving layer with no reference counterpart (the reference only
+exposes the synchronous ScriptedPreEncoder wrapper,
+scripted_preencoder.py:24-175): concurrent clients submit single clips of
+arbitrary length; a background worker coalesces waiting requests into
+bucket-aligned batches and runs the fused exported program once per batch,
+so MXU utilization tracks offered load instead of per-client call sizes
+(measured serving throughput is ~7x higher at B=64 than B=1 on this model —
+benchmarks/results.json configs 1 vs 5).
+
+Design notes (TPU-first):
+* requests are grouped by their static time bucket — every flush calls one
+  already-compiled StableHLO program, never triggering a new compile;
+* the flush policy is oldest-first with a bounded linger (`max_delay_ms`):
+  a batch launches when `max_batch` clips of one bucket are waiting or when
+  the oldest request has waited long enough, whichever comes first;
+* everything on the Python side is queue shuffling on numpy arrays — the
+  device only ever sees (bucket_batch, bucket_T) shapes.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from mqgan_tpu.deploy.runtime import ExportedPreEncoder
+
+
+@dataclass
+class _Request:
+    data: np.ndarray  # (T, mel) float for encode/reencode, (T,) int for decode
+    length: int
+    bucket: int
+    future: Future
+    t_submit: float
+
+
+@dataclass
+class ServerStats:
+    requests: int = 0
+    batches: int = 0
+    rows: int = 0  # sum of batch sizes actually launched
+    latencies_ms: List[float] = field(default_factory=list)
+
+    def summary(self) -> dict:
+        lat = sorted(self.latencies_ms)
+        pct = lambda p: lat[min(len(lat) - 1, int(p * len(lat)))] if lat else 0.0
+        return {
+            "requests": self.requests,
+            "batches": self.batches,
+            "mean_batch_size": self.rows / self.batches if self.batches else 0.0,
+            "p50_latency_ms": round(pct(0.50), 2),
+            "p95_latency_ms": round(pct(0.95), 2),
+        }
+
+
+class CodecServer:
+    """Threaded micro-batching front end for one ExportedPreEncoder op.
+
+    op: "reencode" (mel -> (tokens, refined mel)), "encode" (mel -> tokens)
+    or "decode" (tokens -> refined mel).
+    """
+
+    def __init__(
+        self,
+        model_dir: Optional[str] = None,
+        runtime: Optional[ExportedPreEncoder] = None,
+        *,
+        op: str = "reencode",
+        max_batch: int = 64,
+        max_delay_ms: float = 5.0,
+    ):
+        if runtime is None:
+            if model_dir is None:
+                raise ValueError("need model_dir or runtime")
+            runtime = ExportedPreEncoder(model_dir)
+        if op not in ("reencode", "encode", "decode"):
+            raise ValueError(f"unknown op {op!r}")
+        self.runtime = runtime
+        self.op = op
+        self.max_batch = int(max_batch)
+        self.max_delay_s = float(max_delay_ms) / 1e3
+        self.stats = ServerStats()
+
+        self._queues: dict[int, deque[_Request]] = {
+            b: deque() for b in runtime.buckets
+        }
+        self._cond = threading.Condition()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------------
+    def submit(self, data: np.ndarray, length: Optional[int] = None) -> Future:
+        """Queue one clip; returns a Future resolving to the op's result
+        for that clip (tokens (T,), mel (T, C), or a (tokens, mel) tuple
+        for reencode), trimmed to its true length."""
+        data = np.asarray(data)
+        t = data.shape[0]
+        length = int(length) if length is not None else t
+        if t > self.runtime.buckets[-1]:
+            raise ValueError(
+                f"clip length {t} exceeds the largest exported bucket "
+                f"{self.runtime.buckets[-1]}; chunk it (see deploy.reencode)"
+            )
+        bucket = self.runtime._policy.bucket_for(t)
+        req = _Request(data, length, bucket, Future(), time.monotonic())
+        with self._cond:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._queues[bucket].append(req)
+            self.stats.requests += 1
+            self._cond.notify()
+        return req.future
+
+    def __call__(self, data: np.ndarray, length: Optional[int] = None):
+        """Synchronous convenience wrapper around submit()."""
+        return self.submit(data, length).result()
+
+    def close(self):
+        with self._cond:
+            self._closed = True
+            self._cond.notify_all()
+        self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------------
+    def _oldest(self):
+        """(bucket, age) of the oldest waiting request, or (None, 0)."""
+        best, t0 = None, None
+        for b, q in self._queues.items():
+            if q and (t0 is None or q[0].t_submit < t0):
+                best, t0 = b, q[0].t_submit
+        return best, t0
+
+    def _run(self):
+        while True:
+            with self._cond:
+                bucket, t0 = self._oldest()
+                while bucket is None and not self._closed:
+                    self._cond.wait()
+                    bucket, t0 = self._oldest()
+                if bucket is None and self._closed:
+                    return
+                # linger for stragglers of this bucket unless already full
+                deadline = t0 + self.max_delay_s
+                while (
+                    len(self._queues[bucket]) < self.max_batch
+                    and not self._closed
+                ):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cond.wait(timeout=remaining)
+                batch = []
+                q = self._queues[bucket]
+                while q and len(batch) < self.max_batch:
+                    batch.append(q.popleft())
+            self._flush(bucket, batch)
+
+    def _flush(self, bucket: int, batch: List[_Request]):
+        try:
+            pad_to = bucket
+            rows = []
+            for r in batch:
+                pad = pad_to - r.data.shape[0]
+                if pad:
+                    width = ((0, pad),) + ((0, 0),) * (r.data.ndim - 1)
+                    rows.append(np.pad(r.data, width))
+                else:
+                    rows.append(r.data)
+            stacked = np.stack(rows)
+            lengths = np.asarray([r.length for r in batch], np.int32)
+            out = getattr(self.runtime, self.op)(stacked, lengths)
+            now = time.monotonic()
+            for i, r in enumerate(batch):
+                if self.op == "reencode":
+                    idx, mel = out
+                    res = (idx[i, : r.length], mel[i, : r.length])
+                else:
+                    res = out[i, : r.length]
+                r.future.set_result(res)
+                self.stats.latencies_ms.append((now - r.t_submit) * 1e3)
+            self.stats.batches += 1
+            self.stats.rows += len(batch)
+        except Exception as e:  # noqa: BLE001 — fail the whole batch loudly
+            for r in batch:
+                if not r.future.done():
+                    r.future.set_exception(e)

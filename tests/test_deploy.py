@@ -89,6 +89,51 @@ def test_runtime_bucket_padding(export_dir, rng):
         rt.encode(rng.standard_normal((1, 100, MEL)).astype(np.float32))
 
 
+def test_codec_server_batches_and_matches_direct(export_dir, rng):
+    """Micro-batching server == direct runtime per clip, and concurrent
+    same-bucket submissions actually coalesce into shared batches."""
+    from mqgan_tpu.deploy.runtime import ExportedPreEncoder
+    from mqgan_tpu.deploy.server import CodecServer
+
+    rt = ExportedPreEncoder(export_dir)
+    clips = [rng.standard_normal((t, MEL)).astype(np.float32)
+             for t in (32, 20, 45, 7, 64, 30, 50, 32)]
+
+    with CodecServer(runtime=rt, op="reencode", max_batch=8,
+                     max_delay_ms=60.0) as srv:
+        futs = [srv.submit(c) for c in clips]
+        results = [f.result(timeout=120) for f in futs]
+        stats = srv.stats.summary()
+
+    assert stats["requests"] == len(clips)
+    # two buckets (32, 64) -> far fewer launches than clips
+    assert stats["batches"] < len(clips)
+    assert stats["mean_batch_size"] > 1.0
+
+    for clip, (idx, mel) in zip(clips, results):
+        t = clip.shape[0]
+        assert idx.shape == (t,) and mel.shape == (t, MEL)
+        ref_idx, ref_mel = rt.reencode(clip[None])
+        np.testing.assert_array_equal(idx, ref_idx[0])
+        np.testing.assert_allclose(mel, ref_mel[0], atol=1e-5)
+
+
+def test_codec_server_encode_op_and_errors(export_dir, rng):
+    from mqgan_tpu.deploy.runtime import ExportedPreEncoder
+    from mqgan_tpu.deploy.server import CodecServer
+
+    rt = ExportedPreEncoder(export_dir)
+    with CodecServer(runtime=rt, op="encode", max_batch=4,
+                     max_delay_ms=1.0) as srv:
+        clip = rng.standard_normal((20, MEL)).astype(np.float32)
+        idx = srv(clip)
+        np.testing.assert_array_equal(idx, rt.encode(clip[None])[0])
+        with pytest.raises(ValueError, match="largest exported bucket"):
+            srv.submit(rng.standard_normal((100, MEL)).astype(np.float32))
+    with pytest.raises(RuntimeError, match="closed"):
+        srv.submit(clip)
+
+
 def test_reencode_cli_from_export(export_dir, tmp_path, rng):
     from mqgan_tpu.deploy.reencode import reencode_spectrograms
     from mqgan_tpu.deploy.runtime import ExportedPreEncoder
