@@ -85,6 +85,7 @@ def export_preencoder(
         "eos_token_id": gen.eos_token_id,
         "buckets": sorted(int(t) for t in buckets),
         "platforms": list(platforms),
+        "int8_refiner": bool(gen.int8_refiner),
         "files": {},
     }
 
@@ -158,10 +159,21 @@ def main(argv=None):
     p.add_argument("--output", required=True)
     p.add_argument("--buckets", type=int, nargs="+",
                    default=list(DEFAULT_EXPORT_BUCKETS))
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute dtype in the exported programs")
+    p.add_argument("--int8_refiner", action="store_true",
+                   help="serve the refiner's wide convs on the int8 MXU "
+                        "path (1.32x/conv; ~1e-2 output deviation — see "
+                        "docs/SERVING.md)")
     args = p.parse_args(argv)
 
     cfg = TrainConfig.from_yaml(args.config)
-    gen = PreEncoder.from_config(cfg.model.mel_channels, cfg.model.generator)
+    gen = PreEncoder.from_config(
+        cfg.model.mel_channels, cfg.model.generator,
+        jnp.bfloat16 if args.bf16 else None,
+    )
+    if args.int8_refiner:
+        gen = gen.clone(int8_refiner=True)
 
     from mqgan_tpu.utils.checkpoint import load_pretrained_generator
 

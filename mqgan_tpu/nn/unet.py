@@ -48,6 +48,23 @@ def _crop_to_match(skip: jax.Array, like: jax.Array) -> jax.Array:
     return skip
 
 
+def _int8_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array) -> jax.Array:
+    """3x3 SAME conv on the int8 MXU path: per-output-channel weight scales,
+    per-tensor dynamic activation scale (no calibration needed). Measured
+    1.32x faster than the bf16 conv at the refiner mid-level shape including
+    the quantize/dequantize passes (benchmarks/README.md)."""
+    sw = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(kernel / sw), -127, 127).astype(jnp.int8)
+    sx = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(
+        jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, wq, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * (sx * sw) + bias).astype(x.dtype)
+
+
 def _pack_kernel_w(w: jax.Array) -> jax.Array:
     """(3, 3, Cin, Cout) -> (3, 3, 2*Cin, 2*Cout) packed-W conv kernel.
 
@@ -86,6 +103,11 @@ class ConvBlock(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype | None = None
     packed: bool = False
+    # int8=True runs both convs on the int8 MXU path (inference only:
+    # requires deterministic=True at call time; training calls fall back).
+    # Same param tree; ~1e-2-level output deviation from dynamic symmetric
+    # quantization — an opt-in serving speed/quality trade (docs/SERVING.md)
+    int8: bool = False
 
     @nn.compact
     def __call__(self, x, m=None, deterministic: bool = True):
@@ -97,6 +119,25 @@ class ConvBlock(nn.Module):
                        dtype=self.dtype, name="conv1")
         conv2 = WNConv(self.c_out, (3, 3), use_weight_norm=True,
                        dtype=self.dtype, name="conv2")
+
+        if self.int8 and deterministic:
+            # dummy calls declare the identical param tree (see below)
+            d = conv1(x[:1, :2])
+            _ = conv2(d)
+            dt = self.dtype or x.dtype
+
+            def fold(conv):
+                p = conv.variables["params"]
+                return (weight_norm_kernel(p["v"], p["g"]).astype(dt),
+                        p["bias"].astype(jnp.float32))
+
+            k1, b1 = fold(conv1)
+            k2, b2 = fold(conv2)
+            y = act(_int8_conv(x.astype(dt), k1, b1))
+            y = act(_int8_conv(y, k2, b2))
+            if c_in == self.c_out:
+                y = y + x  # same result-dtype promotion as the plain path
+            return _mask4(y, m)
 
         if self.packed and x.shape[2] % 2 == 0:
             # Tiny dummy calls declare the identical param tree; outputs are
@@ -142,6 +183,9 @@ class UNetRefiner(nn.Module):
     # remat=True recomputes each ConvBlock in the backward pass (stores only
     # block inputs): large-batch training memory relief, see PreEncoder.remat
     remat: bool = False
+    # int8=True quantizes the wide ConvBlocks (down/mid/up — not the packed
+    # pre level, whose convs are small) onto the int8 MXU path at inference
+    int8: bool = False
 
     @nn.compact
     def __call__(
@@ -182,11 +226,13 @@ class UNetRefiner(nn.Module):
             b, t, f, c = h.shape
             h = h[:, : (t // 2) * 2].reshape(b, t // 2, 2, f, c).mean(axis=2)
             cur_mask = _downsample_mask(cur_mask) if cur_mask is not None else None
-            h = block(chs[i + 1], self.dropout, self.dtype, name=f"down{i}")(
+            h = block(chs[i + 1], self.dropout, self.dtype,
+                      int8=self.int8, name=f"down{i}")(
                 h, cur_mask, deterministic
             )
 
-        h = block(chs[-1], self.dropout, self.dtype, name="mid")(
+        h = block(chs[-1], self.dropout, self.dtype, int8=self.int8,
+                  name="mid")(
             h, cur_mask, deterministic
         )
 
@@ -200,7 +246,8 @@ class UNetRefiner(nn.Module):
             # in the train step (wide concat Cin doubles the dominant conv);
             # only the pre level packs (1->64->64)
             h = block(
-                chs[self.depth - i - 1], self.dropout, self.dtype, name=f"up{i}"
+                chs[self.depth - i - 1], self.dropout, self.dtype,
+                int8=self.int8, name=f"up{i}",
             )(h, cur_mask, deterministic)
 
         out = WNConv(1, (3, 3), use_weight_norm=True, dtype=self.dtype,

@@ -263,6 +263,44 @@ def test_packed_convblock_matches_plain(rng, cin, cout):
     np.testing.assert_allclose(np.asarray(odd), np.asarray(want))
 
 
+def test_int8_convblock_close_to_plain(rng):
+    """int8 MXU ConvBlock: same params, small quantization deviation."""
+    from mqgan_tpu.nn.unet import ConvBlock
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 12, 16)).astype(np.float32))
+    m = sequence_mask(8, jnp.array([8, 5]))
+    plain = ConvBlock(16, dropout=0.0)
+    params = plain.init(jax.random.key(0), x, m, True)
+    q = ConvBlock(16, dropout=0.0, int8=True)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(q.init(jax.random.key(0), x, m,
+                                                   True)))
+    ref = np.asarray(plain.apply(params, x, m, True))
+    got = np.asarray(q.apply(params, x, m, True))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 0.05 * scale
+    assert np.abs(got - ref).max() > 0  # actually quantized
+
+    # non-deterministic calls fall back to the float path (training-safe)
+    r_f = q.apply(params, x, m, False, rngs={"dropout": jax.random.key(1)})
+    assert np.isfinite(np.asarray(r_f)).all()
+
+
+def test_int8_refiner_output_deviation_small(rng):
+    from mqgan_tpu.nn.unet import UNetRefiner
+
+    x = jnp.asarray(rng.standard_normal((2, 24, 36)).astype(np.float32))
+    m = sequence_mask(24, jnp.array([24, 17]))
+    ref_mod = UNetRefiner(base_ch=8, depth=2, dropout=0.0, out_features=32)
+    params = ref_mod.init(jax.random.key(0), x, m)
+    q_mod = UNetRefiner(base_ch=8, depth=2, dropout=0.0, out_features=32,
+                        int8=True)
+    ref = np.asarray(ref_mod.apply(params, x, m))
+    got = np.asarray(q_mod.apply(params, x, m))
+    denom = max(np.abs(ref).max(), 1e-6)
+    assert np.abs(got - ref).max() < 0.1 * denom
+
+
 def test_se_layer_masked(rng):
     x = rng.standard_normal((2, 6, 8, 4)).astype(np.float32)
     m = np.zeros((2, 6, 8), bool)
