@@ -102,7 +102,9 @@ def test_codec_server_batches_and_matches_direct(export_dir, rng):
     with CodecServer(runtime=rt, op="reencode", max_batch=8,
                      max_delay_ms=60.0) as srv:
         futs = [srv.submit(c) for c in clips]
-        results = [f.result(timeout=120) for f in futs]
+        # generous: the first flush jit-compiles the bucket program on the
+        # 1-core CI host
+        results = [f.result(timeout=600) for f in futs]
         stats = srv.stats.summary()
 
     assert stats["requests"] == len(clips)
