@@ -47,7 +47,10 @@ class ServerStats:
     requests: int = 0
     batches: int = 0
     rows: int = 0  # sum of batch sizes actually launched
-    latencies_ms: List[float] = field(default_factory=list)
+    # bounded reservoir of recent latencies (long-running servers must not
+    # grow without bound); percentiles are over this window
+    latencies_ms: deque = field(
+        default_factory=lambda: deque(maxlen=4096))
 
     def summary(self) -> dict:
         lat = sorted(self.latencies_ms)
