@@ -89,6 +89,34 @@ def test_runtime_bucket_padding(export_dir, rng):
         rt.encode(rng.standard_normal((1, 100, MEL)).astype(np.float32))
 
 
+def test_int8_refiner_export_roundtrip(small_gen, tmp_path, rng):
+    """--int8_refiner export: same tokens (encode has no refiner), close
+    refined mels, manifest records the quantization."""
+    from mqgan_tpu.deploy.export import export_preencoder
+    from mqgan_tpu.deploy.runtime import ExportedPreEncoder
+
+    gen, params = small_gen
+    out = str(tmp_path / "int8_export")
+    export_preencoder(gen.clone(int8_refiner=True), params, out,
+                      buckets=(32,), config_dict={"mel_channels": MEL},
+                      verify=True)
+    rt_q = ExportedPreEncoder(out)
+    assert rt_q.manifest["int8_refiner"] is True
+
+    spec = rng.standard_normal((2, 32, MEL)).astype(np.float32)
+    idx_q, mel_q = rt_q.reencode(spec)
+    from mqgan_tpu.core.masking import sequence_mask
+    pad = sequence_mask(32, jnp.asarray([32, 32]))
+    idx_ref = np.asarray(
+        gen.apply(params, jnp.asarray(spec), pad, method=PreEncoder.encode))
+    np.testing.assert_array_equal(idx_q, idx_ref)
+    mel_ref = np.asarray(
+        gen.apply(params, jnp.asarray(idx_ref), pad,
+                  method=PreEncoder.decode))
+    denom = max(np.abs(mel_ref).max(), 1e-6)
+    assert np.abs(mel_q - mel_ref).max() < 0.1 * denom
+
+
 def test_codec_server_batches_and_matches_direct(export_dir, rng):
     """Micro-batching server == direct runtime per clip, and concurrent
     same-bucket submissions actually coalesce into shared batches."""
