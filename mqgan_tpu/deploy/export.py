@@ -88,6 +88,12 @@ def export_preencoder(
         "int8_refiner": bool(gen.int8_refiner),
         "files": {},
     }
+    from mqgan_tpu.core.chunking import generator_halos
+
+    # (left, right) seam-discard halo for overlap-chunking clips longer
+    # than the largest bucket (core/chunking.py)
+    manifest["halos"] = list(
+        generator_halos(tuple(gen.kernel_sizes), gen.refiner_depth))
 
     for t in sorted(int(t) for t in buckets):
         enc = jexport.export(jax.jit(encode_fn), platforms=platforms)(
@@ -172,6 +178,9 @@ def main(argv=None):
         cfg.model.mel_channels, cfg.model.generator,
         jnp.bfloat16 if args.bf16 else None,
     )
+    # remat (chunked mixer hiddens) is a training-memory trade; baking its
+    # sequential lax.map into the serving programs is a pure slowdown
+    gen = gen.clone(remat=False)
     if args.int8_refiner:
         gen = gen.clone(int8_refiner=True)
 

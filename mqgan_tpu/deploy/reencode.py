@@ -50,6 +50,8 @@ class CheckpointReencoder:
         cfg = TrainConfig.from_yaml(config_path)
         gen = PreEncoder.from_config(cfg.model.mel_channels, cfg.model.generator,
                                      dtype)
+        # remat is a training-memory trade; never serve its chunked path
+        gen = gen.clone(remat=False)
         t0 = max(cfg.crop_lens)
         mel = jnp.zeros((1, t0, cfg.model.mel_channels), jnp.float32)
         lengths = jnp.full((1,), t0, jnp.int32)
@@ -62,6 +64,11 @@ class CheckpointReencoder:
         self.mel_channels = cfg.model.mel_channels
         self.buckets = sorted(buckets)
         self._policy = BucketPolicy(tuple(self.buckets))
+        from mqgan_tpu.core.chunking import generator_halos
+
+        self.halos = generator_halos(
+            tuple(cfg.model.generator.kernel_sizes),
+            cfg.model.generator.refiner_depth)
 
         import functools
 
@@ -139,9 +146,17 @@ def reencode_spectrograms(
     save_tokens: bool = False,
     tokens_dir: str | None = None,
     max_chunk: int | None = None,
+    halos: tuple | None = None,
 ) -> dict:
     """Walk input_dir, re-encode every .npy mel, mirror the tree into
-    output_dir. Returns {'processed': n, 'failed': n}."""
+    output_dir. Returns {'processed': n, 'failed': n}.
+
+    Files longer than the largest bucket are processed in OVERLAPPING
+    windows with seam-discard (core/chunking.py): each kept frame carries
+    the generator's conv receptive field as context, so chunk boundaries
+    are seamless (vs the round-2 overlap-free splits, whose kept frames
+    near a boundary lacked context). ``halos`` overrides the default
+    flagship (left, right) halo; pass (0, 0) to recover disjoint chunks."""
     files = find_npy_files(input_dir)
     print(f"Found {len(files)} spectrograms under {input_dir}")
     os.makedirs(output_dir, exist_ok=True)
@@ -173,7 +188,15 @@ def reencode_spectrograms(
         try:
             if load_err is not None:
                 raise load_err
-            t_max = min(max(m.shape[0] for m in mels), max_chunk)
+            from mqgan_tpu.core.chunking import chunk_plan, generator_halos
+
+            t_total = max(m.shape[0] for m in mels)
+            t_max = min(t_total, max_chunk)
+            if halos is not None:
+                halo_l, halo_r = halos
+            else:
+                halo_l, halo_r = getattr(
+                    codec, "halos", None) or generator_halos((3, 3, 5, 7), 3)
 
             out_specs = [
                 np.zeros((m.shape[0], codec.mel_channels), np.float32)
@@ -181,27 +204,30 @@ def reencode_spectrograms(
             ]
             out_tokens = [np.zeros((m.shape[0],), np.int32) for m in mels]
 
-            # chunk long files to the largest bucket
-            pos = 0
-            remaining = max(m.shape[0] for m in mels)
-            while pos < remaining:
-                chunk = np.zeros((len(mels), t_max, codec.mel_channels), np.float32)
+            # overlap-chunk long files to the largest bucket, discard
+            # seams; strict=False shrinks halos when the exported buckets
+            # are smaller than the model's receptive field (best effort)
+            for span in chunk_plan(t_total, t_max, halo_l, halo_r,
+                                   strict=False):
+                w = span.stop - span.start
+                chunk = np.zeros((len(mels), w, codec.mel_channels), np.float32)
                 lens = np.zeros((len(mels),), np.int32)
                 for i, m in enumerate(mels):
-                    n = min(max(m.shape[0] - pos, 0), t_max)
+                    n = min(max(m.shape[0] - span.start, 0), w)
                     if n > 0:
-                        chunk[i, :n] = m[pos : pos + n]
+                        chunk[i, :n] = m[span.start : span.start + n]
                     lens[i] = n
                 if (lens == 0).all():
-                    break
+                    continue
                 safe_lens = np.maximum(lens, 1)
                 tokens, recon = codec.reencode(chunk, safe_lens)
-                for i in range(len(mels)):
-                    n = lens[i]
-                    if n > 0:
-                        out_specs[i][pos : pos + n] = recon[i, :n]
-                        out_tokens[i][pos : pos + n] = tokens[i, :n]
-                pos += t_max
+                for i, m in enumerate(mels):
+                    lo = span.keep_lo
+                    hi = min(span.keep_hi, m.shape[0])
+                    if hi > lo:
+                        ll, lh = lo - span.start, hi - span.start
+                        out_specs[i][lo:hi] = recon[i, ll:lh]
+                        out_tokens[i][lo:hi] = tokens[i, ll:lh]
 
             for path, spec, toks in zip(batch_files, out_specs, out_tokens):
                 rel = os.path.relpath(path, input_dir)

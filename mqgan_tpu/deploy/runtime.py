@@ -87,6 +87,21 @@ class ExportedPreEncoder:
     def eos_token_id(self) -> int:
         return int(self.manifest["eos_token_id"])
 
+    def bucket_for(self, t: int) -> int:
+        """Smallest exported bucket covering a clip of length t."""
+        return self._policy.bucket_for(t)
+
+    @property
+    def halos(self) -> tuple:
+        """(left, right) overlap-chunking halo (core/chunking.py); falls
+        back to the flagship config for manifests exported before the
+        field existed."""
+        if "halos" in self.manifest:
+            return tuple(self.manifest["halos"])
+        from mqgan_tpu.core.chunking import generator_halos
+
+        return generator_halos((3, 3, 5, 7), 3)
+
     # ------------------------------------------------------------------
     def _prepare(self, arr: np.ndarray, lengths, pad_value=0.0):
         arr = np.asarray(arr)

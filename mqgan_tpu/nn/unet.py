@@ -52,7 +52,7 @@ def _int8_conv(x: jax.Array, kernel: jax.Array, bias: jax.Array) -> jax.Array:
     """3x3 SAME conv on the int8 MXU path: per-output-channel weight scales,
     per-tensor dynamic activation scale (no calibration needed). Measured
     1.32x faster than the bf16 conv at the refiner mid-level shape including
-    the quantize/dequantize passes (benchmarks/README.md)."""
+    the quantize/dequantize passes (docs/SERVING.md, int8 table)."""
     sw = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-8) / 127.0
     wq = jnp.clip(jnp.round(kernel / sw), -127, 127).astype(jnp.int8)
     sx = jnp.maximum(jnp.max(jnp.abs(x)).astype(jnp.float32), 1e-8) / 127.0
