@@ -40,9 +40,50 @@ def host_info() -> tuple[int, int]:
 
 
 def shard_files_for_host(files: Sequence[str]) -> list:
-    """Deterministic round-robin file shard for this host."""
+    """Deterministic round-robin file shard for this host.
+
+    NOT used by the GAN trainer: training shards ROWS of each global batch
+    (train/data.py MelLoader process_index/process_count) so batch content
+    and step counts are process-count-invariant. This helper remains for
+    embarrassingly-parallel work division (e.g. batch re-encode), where
+    uneven shards are harmless."""
     idx, count = host_info()
     return [f for i, f in enumerate(files) if i % count == idx]
+
+
+def globalize_tree(tree, shardings):
+    """Place host/local pytree values onto (possibly multi-process) shardings.
+
+    ``shardings`` is a matching pytree (or a prefix thereof via tree.map
+    broadcasting rules) of NamedShardings. Single-process: plain device_put.
+    Multi-process: device_put to a sharding with non-addressable devices is
+    illegal, so arrays are lifted to global jax.Arrays via
+    make_array_from_callback instead — each process must hold the identical
+    FULL value (true for the deterministic same-seed init and for checkpoint
+    restores); the callback slices out whatever shard each local device
+    needs, so this works for replicated AND model-sharded (TP) specs alike.
+    Typed PRNG keys are round-tripped through key_data/wrap_key_data."""
+    if jax.process_count() == 1:
+        return jax.tree.map(lambda x, s: jax.device_put(x, s), tree, shardings)
+
+    def put(x, s):
+        if isinstance(x, jax.Array) and jax.dtypes.issubdtype(
+                x.dtype, jax.dtypes.prng_key):
+            impl = jax.random.key_impl(x)
+            data = np.asarray(jax.random.key_data(x))
+            g = jax.make_array_from_callback(
+                data.shape, s, lambda idx: data[idx])
+            return jax.random.wrap_key_data(g, impl=impl)
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, s, lambda idx: x[idx])
+
+    return jax.tree.map(put, tree, shardings)
+
+
+def replicate_tree(tree, sharding):
+    """globalize_tree with one replicated sharding for every leaf."""
+    return globalize_tree(tree, jax.tree.map(lambda _: sharding, tree))
 
 
 def make_global_batch(mesh, local_batch):

@@ -113,7 +113,28 @@ def collate(
 
 
 class MelLoader:
-    """Shuffling, threaded, bucketed batch iterator."""
+    """Shuffling, threaded, bucketed batch iterator.
+
+    Process-count-invariant sampling plan: the shuffle order, per-batch crop
+    length, and per-row crop start are all pure functions of
+    ``(seed, epoch, batch_index, global_row)`` over the FULL (union) file
+    list — never of a random stream perturbed by per-host shard content.
+    In a multi-host run every process constructs the SAME global plan and
+    materializes only its own row range ``[process_index*local_bs,
+    (process_index+1)*local_bs)`` of each global batch, so
+
+    * the concatenation over processes (parallel/multihost.make_global_batch)
+      is bit-identical to what a single process would load, and
+    * every process yields exactly the same number of batches per epoch
+      (no collective deadlock on uneven shards).
+
+    ``batch_size`` is the GLOBAL batch size; each process yields
+    ``batch_size // process_count`` rows. Short final batches (and rows whose
+    file fails to load) become zero-length all-zero rows — every loss is
+    masked by ``lengths``, so they carry zero weight and zero gradient,
+    matching the reference's smaller-final-batch semantics
+    (train.py:140-197) without a second compiled batch shape.
+    """
 
     def __init__(
         self,
@@ -123,54 +144,84 @@ class MelLoader:
         seed: int = 42,
         num_threads: int = 8,
         drop_last: bool = False,
+        process_index: int = 0,
+        process_count: int = 1,
+        mel_channels: int | None = None,
     ):
+        assert batch_size % process_count == 0, (
+            f"global batch {batch_size} not divisible by {process_count} "
+            f"processes")
+        if process_count > 1 and mel_channels is None:
+            raise ValueError(
+                "multi-process MelLoader needs mel_channels: a process whose "
+                "slice of the final batch is all padding must still build a "
+                "correctly-shaped zero batch")
         self.dataset = dataset
         self.batch_size = batch_size
         self.crop_lens = tuple(crop_lens)
         self.seed = seed
         self.num_threads = num_threads
         self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+        self.mel_channels = mel_channels
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    def _batch_rng(self, epoch: int, b: int, row: int | None = None):
+        key = [self.seed & 0xFFFFFFFF, epoch, b]
+        if row is not None:
+            key.append(row)
+        return np.random.default_rng(key)
+
+    def crop_for_batch(self, epoch: int, b: int) -> int:
+        """Global-batch crop length: pure function of (seed, epoch, b)."""
+        r = self._batch_rng(epoch, b)
+        return int(self.crop_lens[int(r.integers(len(self.crop_lens)))])
+
     def epoch(self, epoch: int) -> Iterator[Batch]:
-        rng = random.Random(self.seed + epoch)
         order = list(range(len(self.dataset)))
-        rng.shuffle(order)
+        random.Random(self.seed + epoch).shuffle(order)
+        n = len(order)
+        gb = self.batch_size
+        lb = gb // self.process_count
+        base = self.process_index * lb
+        num_batches = n // gb if self.drop_last else -(-n // gb)
         pool = ThreadPoolExecutor(max_workers=self.num_threads)
+
+        def load(g: int):
+            return self.dataset.load(order[g]) if g < n else None
+
         try:
-            for start in range(0, len(order), self.batch_size):
-                idxs = order[start : start + self.batch_size]
-                if self.drop_last and len(idxs) < self.batch_size:
-                    break
-                mels = list(pool.map(self.dataset.load, idxs))
-                items = [
-                    (m, os.path.basename(self.dataset.files[i]))
-                    for m, i in zip(mels, idxs)
-                    if m is not None
-                ]
-                batch = collate(items, self.crop_lens, rng)
-                if batch is None:
-                    continue
-                if len(batch.filenames) < self.batch_size:
-                    # keep static shapes: pad short final batches up to B
-                    # with zero-length rows. Every loss is masked by
-                    # `lengths`, so pad rows carry zero weight and zero
-                    # gradient — matching the reference's smaller final
-                    # batch semantics (train.py:140-197) without a second
-                    # compiled batch shape.
-                    deficit = self.batch_size - len(batch.filenames)
-                    pad_mel = np.zeros((deficit,) + batch.mel.shape[1:],
-                                       batch.mel.dtype)
-                    pad_len = np.zeros((deficit,), batch.lengths.dtype)
-                    batch = Batch(
-                        mel=np.concatenate([batch.mel, pad_mel], 0),
-                        lengths=np.concatenate([batch.lengths, pad_len], 0),
-                        filenames=batch.filenames + ["<pad>"] * deficit,
-                    )
-                yield batch
+            for b in range(num_batches):
+                tgt = self.crop_for_batch(epoch, b)
+                gidxs = [b * gb + base + i for i in range(lb)]
+                mels = list(pool.map(load, gidxs))
+                c = self.mel_channels
+                if c is None:
+                    c = next((m.shape[1] for m in mels if m is not None), None)
+                    if c is None:
+                        continue  # whole batch failed, channels unknown
+                mel = np.zeros((lb, tgt, c), np.float32)
+                lengths = np.zeros((lb,), np.int32)
+                names = []
+                for i, (g, m) in enumerate(zip(gidxs, mels)):
+                    if m is None:
+                        names.append("<pad>")
+                        continue
+                    full = m.shape[0]
+                    if full > tgt:
+                        start = int(self._batch_rng(epoch, b, g).integers(
+                            0, full - tgt + 1))
+                        mel[i] = m[start : start + tgt]
+                        lengths[i] = tgt
+                    else:
+                        mel[i, :full] = m
+                        lengths[i] = full
+                    names.append(os.path.basename(self.dataset.files[order[g]]))
+                yield Batch(mel=mel, lengths=lengths, filenames=names)
         finally:
             pool.shutdown(wait=False)
 
@@ -190,7 +241,9 @@ class DevicePrefetcher:
     def _worker(self):
         try:
             for batch in self._it:
-                self._q.put((self._put(batch.mel), self._put(batch.lengths), batch.filenames))
+                # device arrays for the step + the host Batch (plotting /
+                # eval must not touch global arrays in multi-process runs)
+                self._q.put((self._put(batch.mel), self._put(batch.lengths), batch))
         except BaseException as e:  # re-raised on the consumer side
             self._error = e
         finally:

@@ -100,24 +100,31 @@ class Trainer:
         )
         print(f"Dataset: {len(files)} files -> {len(train_files)} train / "
               f"{len(eval_files)} eval")
-        local_bs = cfg.data.batch_size
+        proc_idx, proc_count = 0, 1
         if self.multihost:
-            from mqgan_tpu.parallel.multihost import host_info, shard_files_for_host
+            from mqgan_tpu.parallel.multihost import host_info
 
-            idx, count = host_info()
-            # config batch_size is the GLOBAL batch; each host loads its slice
-            assert cfg.data.batch_size % count == 0, (
+            proc_idx, proc_count = host_info()
+            # config batch_size is the GLOBAL batch; each host materializes
+            # its row range of every global batch. ALL hosts keep the full
+            # (union) file list — MelLoader's sampling plan is a pure
+            # function of (seed, epoch, batch, row), so batch content and
+            # per-epoch step counts are process-count-invariant (no
+            # crop-length divergence, no collective deadlock on uneven
+            # shards).
+            assert cfg.data.batch_size % proc_count == 0, (
                 f"batch_size {cfg.data.batch_size} not divisible by "
-                f"{count} hosts")
-            local_bs = cfg.data.batch_size // count
-            train_files = shard_files_for_host(train_files)
-            print(f"multihost: host {idx}/{count} takes {len(train_files)} "
-                  f"train files, local batch {local_bs}")
+                f"{proc_count} hosts")
+            print(f"multihost: host {proc_idx}/{proc_count}, local batch "
+                  f"{cfg.data.batch_size // proc_count}")
         self.train_loader = MelLoader(
             MelDataset(train_files),
-            batch_size=local_bs,
+            batch_size=cfg.data.batch_size,
             crop_lens=cfg.crop_lens,
             seed=cfg.training.seed,
+            process_index=proc_idx,
+            process_count=proc_count,
+            mel_channels=cfg.model.mel_channels,
         )
         self.eval_dataset = MelDataset(eval_files)
 
@@ -140,9 +147,10 @@ class Trainer:
             gen_variables=gv, patch_variables=pv, multibin_variables=mv,
             training_cfg=cfg.training, rng=kr,
         )
-        # replicate the state over the mesh
-        state = jax.device_put(state, self._repl)
-        self.state = state
+        # replicate the state over the mesh (multi-process safe)
+        from mqgan_tpu.parallel.multihost import replicate_tree
+
+        self.state = replicate_tree(state, self._repl)
 
         # checkpoint handling: auto-resume newest, else optional warm-start
         # (reference train.py:339-378)
@@ -150,8 +158,9 @@ class Trainer:
         if latest is not None:
             path, epoch = latest
             print(f"Resuming from {path} (epoch {epoch})")
-            self.state = ckpt_utils.restore_checkpoint(path, self.state)
-            self.state = jax.device_put(self.state, self._repl)
+            restored = ckpt_utils.restore_checkpoint(
+                path, jax.device_get(self.state))
+            self.state = replicate_tree(restored, self._repl)
             self.start_epoch = epoch + 1
         elif cfg.training.pretrained:
             print(f"Warm-starting generator from {cfg.training.pretrained}")
@@ -161,7 +170,7 @@ class Trainer:
                 cfg.model.generator.refiner_depth,
                 template=self.state.gen_params,
             )
-            gen_params = jax.device_put(gen_params, self._repl)
+            gen_params = replicate_tree(gen_params, self._repl)
             self.state = self.state.replace(gen_params=gen_params)
 
     # ------------------------------------------------------------------
@@ -191,7 +200,7 @@ class Trainer:
         t0 = time.time()
         frames = 0
         last_batch = None
-        for mel, lengths, names in it:
+        for mel, lengths, host_batch in it:
             if self.profile_steps and epoch == self.start_epoch:
                 self._maybe_profile(n)
             self.state, metrics = step_fn(self.state, mel, lengths)
@@ -206,7 +215,7 @@ class Trainer:
                      if k.startswith("grad_norm")})
                 self.logger.log(watch, step=int(self.state.step))
             frames += int(np.prod(mel.shape[:2]))
-            last_batch = (mel, lengths, names)
+            last_batch = host_batch
             if n % 10 == 0 or n == 1:
                 last = {k: float(v) for k, v in metrics.items()}
                 if not all(np.isfinite(v) for v in last.values()):
@@ -241,9 +250,20 @@ class Trainer:
             self._profiling = False
             print("profiling stopped")
 
+    def _local_gen_params(self):
+        """Generator params usable in a process-local jit. In a multi-process
+        run self.state lives on the global mesh; primary-only eval/plot jits
+        must not consume it (the other processes would never join the
+        computation), so fetch the replicated values to the host first."""
+        if self.multihost and jax.process_count() > 1:
+            return jax.device_get(self.state.gen_params)
+        return self.state.gen_params
+
     def _log_train_images(self, epoch: int, batch):
         """End-of-epoch original/pre/post triptychs from the last train batch
-        (reference _log_train_images, train.py:539-573)."""
+        (reference _log_train_images, train.py:539-573). Uses the HOST copy
+        of the batch (this process's rows) + process-local params, so it is
+        primary-only safe under multihost."""
         if batch is None or self.config.logging.num_plot_examples <= 0:
             return
         if not self._is_primary:
@@ -252,8 +272,8 @@ class Trainer:
             self._eval_step = make_eval_step(self.config, self.dtype)
         from mqgan_tpu.utils.plotting import save_triptych
 
-        mel, lengths, names = batch
-        pre, post, _idx, _m = self._eval_step(self.state.gen_params, mel, lengths)
+        mel, lengths = jnp.asarray(batch.mel), jnp.asarray(batch.lengths)
+        pre, post, _idx, _m = self._eval_step(self._local_gen_params(), mel, lengths)
         mel_h, pre_h, post_h = (np.asarray(jax.device_get(x)) for x in (mel, pre, post))
         lens_h = np.asarray(jax.device_get(lengths))
         k = min(self.config.logging.num_plot_examples, mel_h.shape[0])
@@ -268,28 +288,37 @@ class Trainer:
                 print(f"train plotting failed: {e}")
                 break
 
-    def _eval_clip(self, mel: np.ndarray):
-        """Full-length eval of one (T, C) clip, chunked over the largest
-        eval bucket (reference _evaluate runs full-length sequences,
-        train.py:585-599; we cover every frame by chunking instead of
-        compiling unbounded shapes). Returns (pre, post, metrics) with
-        pre/post full-length (T, C) and MSEs computed over ALL frames."""
+    def _eval_clip(self, mel: np.ndarray, gen_params=None):
+        """Full-length eval of one (T, C) clip through the largest eval
+        bucket in OVERLAPPING windows with seam-discard (reference
+        _evaluate runs full-length sequences in one pass, train.py:585-599;
+        we keep static shapes instead of compiling unbounded ones). Each
+        window carries the generator's full conv receptive field as halo
+        (core/chunking.py), so kept frames match a single full-length pass
+        up to the encoder's CBAM window approximation (documented there);
+        the decode side is equivalence-tested at ~1e-5."""
         from mqgan_tpu.core.buckets import BucketPolicy, DEFAULT_INFERENCE_BUCKETS
+        from mqgan_tpu.core.chunking import chunk_plan, generator_halos
 
+        if gen_params is None:
+            gen_params = self._local_gen_params()
         policy = BucketPolicy(DEFAULT_INFERENCE_BUCKETS[:6])
         max_t = policy.buckets[-1]
         t = mel.shape[0]
+        gcfg = self.config.model.generator
+        halo_l, halo_r = generator_halos(
+            tuple(gcfg.kernel_sizes), gcfg.refiner_depth)
         pre_full = np.zeros_like(mel, dtype=np.float32)
         post_full = np.zeros_like(mel, dtype=np.float32)
-        for pos in range(0, t, max_t):
-            seg = mel[pos: pos + max_t]
+        for span in chunk_plan(t, max_t, halo_l, halo_r):
+            seg = mel[span.start: span.stop]
             batch, lengths, _ = policy.pad_batch([seg])
             pre, post, _idx, _m = self._eval_step(
-                self.state.gen_params, jnp.asarray(batch), jnp.asarray(lengths)
+                gen_params, jnp.asarray(batch), jnp.asarray(lengths)
             )
-            n = seg.shape[0]
-            pre_full[pos: pos + n] = np.asarray(pre)[0, :n]
-            post_full[pos: pos + n] = np.asarray(post)[0, :n]
+            lo, hi = span.local_lo, span.local_hi
+            pre_full[span.keep_lo: span.keep_hi] = np.asarray(pre)[0, lo:hi]
+            post_full[span.keep_lo: span.keep_hi] = np.asarray(post)[0, lo:hi]
         mel32 = mel.astype(np.float32)
         metrics = {
             "eval_recon_pre_mse": float(np.mean((pre_full - mel32) ** 2)),
@@ -307,11 +336,12 @@ class Trainer:
         rng = np.random.default_rng(epoch)
         idxs = rng.choice(len(self.eval_dataset), size=n, replace=False) if n else []
         metrics_acc = []
+        gen_params = self._local_gen_params()
         for i, idx in enumerate(idxs):
             mel = self.eval_dataset.load(int(idx))
             if mel is None:
                 continue
-            pre, post, m = self._eval_clip(mel)
+            pre, post, m = self._eval_clip(mel, gen_params)
             metrics_acc.append(m)
             try:
                 save_triptych(

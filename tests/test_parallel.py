@@ -1,6 +1,8 @@
 """Multi-device tests on the virtual 8-CPU mesh: DP equivalence, TP
 shardings, and the driver dryrun entry."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -56,9 +58,12 @@ def test_state_shardings_rules():
 
 
 @pytest.mark.slow
-def test_dryrun_multichip_8():
+def test_dryrun_multichip_8(monkeypatch):
     import importlib.util
 
+    # the 2-process portion is covered (more strictly) by
+    # test_multihost_two_process_param_equality — skip it here
+    monkeypatch.setenv("MQGAN_DRYRUN_NO_MP", "1")
     spec = importlib.util.spec_from_file_location(
         "graft_entry", "/root/repo/__graft_entry__.py"
     )
@@ -170,6 +175,122 @@ def test_sharded_train_step_numerics_match_single_device():
         _allclose_tree(got_state.lecam, ref_state.lecam, rtol=1e-5,
                        atol=1e-6, what=f"{tag} lecam")
         assert int(got_state.step) == int(ref_state.step) == n_steps
+
+
+def _free_port():
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _make_uneven_dataset(root, n=13, mel=12):
+    """n=13 files, val 0.2 -> 11 train files: batch 8 leaves an uneven
+    final batch whose rows straddle the 2-process row split (host 1's
+    slice of batch 1 is pure padding) — the shapes that deadlocked or
+    diverged under the old per-host file-sharding design."""
+    host = np.random.default_rng(123)
+    os.makedirs(root, exist_ok=True)
+    for i in range(n):
+        t = int(host.integers(16, 60))
+        np.save(os.path.join(root, f"clip_{i:03d}.npy"),
+                host.standard_normal((t, mel)).astype(np.float32))
+    return root
+
+
+@pytest.mark.slow
+def test_multihost_two_process_param_equality(tmp_path):
+    """REAL 2-process jax.distributed run == single-process run, exactly.
+
+    Launches two worker processes (4 virtual CPU devices each, gloo
+    collectives) through the full Trainer with --multihost semantics on an
+    UNEVEN dataset, and one plain single-process run (8 devices) on the
+    union of files, then asserts the final generator AND discriminator
+    parameters match. This is the process-count-invariance contract of
+    /root/reference/train.py:380-501, and it fails under per-host
+    crop-length RNG divergence or per-host step-count mismatch."""
+    import subprocess
+    import sys
+
+    data_dir = _make_uneven_dataset(str(tmp_path / "mels"))
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = "/root/repo" + (
+        ":" + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH") else "")
+
+    def run_single():
+        out = str(tmp_path / "single")
+        npz = str(tmp_path / "single.npz")
+        r = subprocess.run(
+            [sys.executable, worker, "0", "1", "0", "8", data_dir, out, npz],
+            env=env, capture_output=True, text=True, timeout=900)
+        assert r.returncode == 0, f"single-process run failed:\n{r.stdout}\n{r.stderr}"
+        return npz
+
+    def run_dual():
+        out = str(tmp_path / "dual")
+        npz = str(tmp_path / "dual.npz")
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(i), "2", str(port), "4",
+                 data_dir, out + f"_{i}", npz],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True)
+            for i in range(2)
+        ]
+        logs = []
+        for p in procs:
+            try:
+                stdout, _ = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise AssertionError(
+                    "2-process run deadlocked (collective desync?)")
+            logs.append(stdout)
+        assert all(p.returncode == 0 for p in procs), (
+            "2-process run failed:\n" + "\n----\n".join(logs))
+        return npz
+
+    single, dual = run_single(), run_dual()
+    a, b = np.load(single), np.load(dual)
+    assert sorted(a.files) == sorted(b.files)
+    for k in a.files:
+        # gloo cross-process allreduce sums in a different order than the
+        # single-process reduction; through Adam's rsqrt normalization that
+        # reordering leaves O(1e-5) fp32 wiggle after a few steps. Real
+        # divergence (crop-length desync, missed batches) shows up as O(1)
+        # diffs or as a deadlock above.
+        np.testing.assert_allclose(
+            a[k], b[k], rtol=1e-3, atol=5e-5,
+            err_msg=f"param {k} differs between 1-process and 2-process runs")
+
+
+def test_loader_plan_is_process_count_invariant(tmp_path):
+    """MelLoader: concatenating the 2 processes' rows reproduces the
+    single-process global batches bit-exactly, batch-for-batch."""
+    from mqgan_tpu.train.data import MelDataset, MelLoader
+
+    data_dir = _make_uneven_dataset(str(tmp_path / "mels"), n=11, mel=6)
+    from mqgan_tpu.train.data import find_npy_files
+
+    files = find_npy_files(data_dir)
+    mk = lambda idx, cnt: MelLoader(
+        MelDataset(files), batch_size=8, crop_lens=(16, 24), seed=5,
+        process_index=idx, process_count=cnt, mel_channels=6)
+    for epoch in (0, 1):
+        whole = list(mk(0, 1).epoch(epoch))
+        parts = [list(mk(i, 2).epoch(epoch)) for i in range(2)]
+        assert len(whole) == len(parts[0]) == len(parts[1]) == 2  # 11/8 -> 2
+        for b, (w, p0, p1) in enumerate(zip(whole, *parts)):
+            np.testing.assert_array_equal(
+                w.mel, np.concatenate([p0.mel, p1.mel], 0))
+            np.testing.assert_array_equal(
+                w.lengths, np.concatenate([p0.lengths, p1.lengths], 0))
+            assert w.filenames == p0.filenames + p1.filenames
 
 
 def test_multihost_single_process_paths(rng):
