@@ -133,9 +133,20 @@ def batches(ds: MusicChunkDataset, idxs, batch_size, pad_id, rng: np.random.Gene
         rng.shuffle(order)
     for start in range(0, len(order), batch_size):
         chunk = order[start : start + batch_size]
+        loaded = [ds.load(i) for i in chunk]
+        seqs = [s for s, _ in loaded]
+        genres = [g for _, g in loaded]
         if len(chunk) < batch_size:
-            chunk = chunk + chunk[: batch_size - len(chunk)]  # repeat-pad
-        seqs, genres = zip(*[ds.load(i) for i in chunk])
+            # keep static batch shape: fill short final batches with
+            # zero-length all-pad rows. Every target token of a fill row is
+            # pad_id, so masked_ce_loss gives them zero weight and zero
+            # gradient — train loss, val loss, and perplexity are invariant
+            # to the batch-size choice (the GAN loader's train/data.py
+            # zero-length-fill treatment; the reference repeat-pads and
+            # double-counts duplicates).
+            deficit = batch_size - len(chunk)
+            seqs += [np.zeros((0,), np.int64)] * deficit
+            genres += [0] * deficit
         yield collate_music(seqs, genres, pad_id)
 
 

@@ -68,6 +68,67 @@ def test_masked_ce_matches_torch(rng):
     assert int(n) == int((targets != 0).sum())
 
 
+def test_zero_length_pad_rows_contribute_nothing(rng):
+    """Short final batches are filled with zero-length all-pad rows
+    (train/lstm_trainer.batches): loss AND gradients must equal the
+    unpadded batch exactly, in both train and eval use."""
+    model = MusicLSTM(vocab_size=20, num_genres=2, emb_dim=8, lstm_hid=12,
+                      lstm_layers=1, pad_id=0, dropout=0.0)
+    tokens = np.asarray(rng.integers(1, 20, (2, 7)), np.int64)
+    genres = np.asarray([0, 1], np.int64)
+    params = model.init(jax.random.key(0), jnp.asarray(tokens),
+                        jnp.asarray(genres), None)["params"]
+
+    def loss_of(params, toks, gens):
+        logits = model.apply({"params": params}, toks[:, :-1], gens)
+        loss, n = masked_ce_loss(logits, toks[:, 1:], pad_id=0)
+        return loss, n
+
+    # batch padded with 2 zero-length (all-pad) fill rows, genre 0
+    toks_pad = np.zeros((4, 7), np.int64)
+    toks_pad[:2] = tokens
+    gens_pad = np.asarray([0, 1, 0, 0], np.int64)
+
+    (l_ref, n_ref), g_ref = jax.value_and_grad(loss_of, has_aux=True)(
+        params, jnp.asarray(tokens), jnp.asarray(genres))
+    (l_pad, n_pad), g_pad = jax.value_and_grad(loss_of, has_aux=True)(
+        params, jnp.asarray(toks_pad), jnp.asarray(gens_pad))
+    assert int(n_ref) == int(n_pad)
+    np.testing.assert_allclose(float(l_pad), float(l_ref), rtol=1e-6)
+    for (ka, a), (_kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_pad)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6,
+                                   err_msg=f"grad {jax.tree_util.keystr(ka)} differs")
+
+
+def test_batches_fill_rows_are_zero_length(rng):
+    """batches() fills short final batches with all-pad rows, never
+    duplicates (the reference's repeat-pad double-counts them)."""
+    from mqgan_tpu.train.lstm_trainer import batches
+
+    class _DS:
+        def __init__(self, seqs):
+            self.seqs = seqs
+
+        def __len__(self):
+            return len(self.seqs)
+
+        def load(self, i):
+            return self.seqs[i], i % 2
+
+    seqs = [np.asarray(rng.integers(1, 9, int(rng.integers(4, 12))), np.int64)
+            for _ in range(5)]
+    out = list(batches(_DS(seqs), range(5), batch_size=4, pad_id=0, rng=None))
+    assert len(out) == 2
+    tokens, genres, lengths = out[1]
+    assert tokens.shape[0] == 4
+    # row 0 is the real 5th sequence, rows 1-3 are all-pad with length 0
+    assert (lengths[1:] == 0).all()
+    assert (tokens[1:] == 0).all()
+    assert lengths[0] == len(seqs[4])
+
+
 @pytest.mark.slow
 def test_lstm_trainer_cli(tmp_path, rng):
     from mqgan_tpu.train.lstm_trainer import main as lstm_main
