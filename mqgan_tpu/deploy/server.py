@@ -42,9 +42,15 @@ class _Request:
     t_submit: float
 
 
+class ServerOverloadedError(RuntimeError):
+    """submit() rejected: the ingress queue is at max_queue."""
+
+
 @dataclass
 class ServerStats:
     requests: int = 0
+    rejected: int = 0  # submissions refused by the max_queue ingress bound
+    queued: int = 0  # requests currently waiting (all buckets)
     batches: int = 0
     rows: int = 0  # sum of batch sizes actually launched
     # bounded reservoir of recent latencies (long-running servers must not
@@ -57,6 +63,8 @@ class ServerStats:
         pct = lambda p: lat[min(len(lat) - 1, int(p * len(lat)))] if lat else 0.0
         return {
             "requests": self.requests,
+            "rejected": self.rejected,
+            "queued": self.queued,
             "batches": self.batches,
             "mean_batch_size": self.rows / self.batches if self.batches else 0.0,
             "p50_latency_ms": round(pct(0.50), 2),
@@ -79,6 +87,8 @@ class CodecServer:
         op: str = "reencode",
         max_batch: int = 64,
         max_delay_ms: float = 5.0,
+        max_queue: int = 1024,
+        block_on_full: bool = False,
     ):
         if runtime is None:
             if model_dir is None:
@@ -90,6 +100,10 @@ class CodecServer:
         self.op = op
         self.max_batch = int(max_batch)
         self.max_delay_s = float(max_delay_ms) / 1e3
+        # ingress bound: sustained overload must produce backpressure
+        # (reject or block), never unbounded queue growth
+        self.max_queue = int(max_queue)
+        self.block_on_full = bool(block_on_full)
         self.stats = ServerStats()
 
         self._queues: dict[int, deque[_Request]] = {
@@ -104,7 +118,11 @@ class CodecServer:
     def submit(self, data: np.ndarray, length: Optional[int] = None) -> Future:
         """Queue one clip; returns a Future resolving to the op's result
         for that clip (tokens (T,), mel (T, C), or a (tokens, mel) tuple
-        for reencode), trimmed to its true length."""
+        for reencode), trimmed to its true length.
+
+        When the total queued requests reach ``max_queue``: blocks until
+        there is room if ``block_on_full``, else raises
+        ServerOverloadedError (counted in stats.rejected)."""
         data = np.asarray(data)
         t = data.shape[0]
         length = int(length) if length is not None else t
@@ -113,14 +131,24 @@ class CodecServer:
                 f"clip length {t} exceeds the largest exported bucket "
                 f"{self.runtime.buckets[-1]}; chunk it (see deploy.reencode)"
             )
-        bucket = self.runtime._policy.bucket_for(t)
+        bucket = self.runtime.bucket_for(t)
         req = _Request(data, length, bucket, Future(), time.monotonic())
         with self._cond:
             if self._closed:
                 raise RuntimeError("server is closed")
+            while self.stats.queued >= self.max_queue and not self._closed:
+                if not self.block_on_full:
+                    self.stats.rejected += 1
+                    raise ServerOverloadedError(
+                        f"{self.stats.queued} requests queued "
+                        f"(max_queue={self.max_queue})")
+                self._cond.wait()
+            if self._closed:
+                raise RuntimeError("server is closed")
             self._queues[bucket].append(req)
             self.stats.requests += 1
-            self._cond.notify()
+            self.stats.queued += 1
+            self._cond.notify_all()
         return req.future
 
     def __call__(self, data: np.ndarray, length: Optional[int] = None):
@@ -171,6 +199,9 @@ class CodecServer:
                 q = self._queues[bucket]
                 while q and len(batch) < self.max_batch:
                     batch.append(q.popleft())
+                self.stats.queued -= len(batch)
+                # wake submitters blocked on the ingress bound
+                self._cond.notify_all()
             self._flush(bucket, batch)
 
     def _flush(self, bucket: int, batch: List[_Request]):
@@ -188,6 +219,14 @@ class CodecServer:
             lengths = np.asarray([r.length for r in batch], np.int32)
             out = getattr(self.runtime, self.op)(stacked, lengths)
             now = time.monotonic()
+            # record stats under the lock BEFORE resolving any future, so a
+            # client that sees result() can never observe torn/stale counts
+            # (missing latency sample, requests ahead of batches)
+            with self._cond:
+                self.stats.batches += 1
+                self.stats.rows += len(batch)
+                for r in batch:
+                    self.stats.latencies_ms.append((now - r.t_submit) * 1e3)
             for i, r in enumerate(batch):
                 if self.op == "reencode":
                     idx, mel = out
@@ -195,9 +234,6 @@ class CodecServer:
                 else:
                     res = out[i, : r.length]
                 r.future.set_result(res)
-                self.stats.latencies_ms.append((now - r.t_submit) * 1e3)
-            self.stats.batches += 1
-            self.stats.rows += len(batch)
         except Exception as e:  # noqa: BLE001 — fail the whole batch loudly
             for r in batch:
                 if not r.future.done():

@@ -112,8 +112,12 @@ class ResidualBlock1D(nn.Module):
                 act_beta=act.variables["params"]["beta"],
                 act_gamma=act.variables["params"]["gamma"],
             )
-            # XLA path's result dtype: the identity residual add promotes
-            # with the input dtype (e.g. fp32 x through a bf16 block)
+            # XLA path's result dtype: only the IDENTITY residual add
+            # promotes with the input dtype (e.g. fp32 x through a bf16
+            # block); with a residual projection the add is conv-output +
+            # conv-output, both in the compute dtype
+            if has_proj:
+                return out.astype(self.dtype or x.dtype)
             return out.astype(jnp.promote_types(x.dtype,
                                                 self.dtype or x.dtype))
 

@@ -164,6 +164,57 @@ def test_codec_server_encode_op_and_errors(export_dir, rng):
         srv.submit(clip)
 
 
+def test_codec_server_ingress_bound(export_dir, rng):
+    """Sustained overload produces backpressure, not unbounded queues:
+    submissions beyond max_queue are rejected (and counted) while every
+    accepted request still completes; block_on_full=True never rejects."""
+    from mqgan_tpu.deploy.runtime import ExportedPreEncoder
+    from mqgan_tpu.deploy.server import CodecServer, ServerOverloadedError
+
+    rt = ExportedPreEncoder(export_dir)
+    clip = rng.standard_normal((20, MEL)).astype(np.float32)
+
+    # max_batch > submissions + long linger: the worker is guaranteed to be
+    # waiting out the linger while we fill the queue, so the accept/reject
+    # counts are deterministic
+    with CodecServer(runtime=rt, op="encode", max_batch=64, max_delay_ms=5000,
+                     max_queue=6) as srv:
+        futs, rejects = [], 0
+        for _ in range(4 * 6):
+            try:
+                futs.append(srv.submit(clip))
+            except ServerOverloadedError:
+                rejects += 1
+        assert len(futs) == 6 and rejects == 18
+        assert srv.stats.queued == 6
+        # accepted work still completes once the worker flushes
+        for f in futs:
+            f.result(timeout=600)
+        s = srv.stats.summary()
+        assert s["rejected"] == 18 and s["requests"] == 6 and s["queued"] == 0
+
+    # blocking mode: concurrent submitters throttle instead of rejecting
+    import threading
+
+    with CodecServer(runtime=rt, op="encode", max_batch=4, max_delay_ms=1.0,
+                     max_queue=2, block_on_full=True) as srv:
+        results, errs = [], []
+
+        def client():
+            try:
+                results.append(srv.submit(clip).result(timeout=600))
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=client) for _ in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=600)
+        assert not errs and len(results) == 12
+        assert srv.stats.summary()["rejected"] == 0
+
+
 def test_reencode_cli_from_export(export_dir, tmp_path, rng):
     from mqgan_tpu.deploy.reencode import reencode_spectrograms
     from mqgan_tpu.deploy.runtime import ExportedPreEncoder
