@@ -135,19 +135,45 @@ def main(argv=None):
 
     # ---- VPU transcendental roofline (mixer arithmetic) ----------------
     if want("vpu"):
+        # a 16.8M-elem elementwise pass takes tens of us — a 12-chain is
+        # dispatch-dominated (~34 ms tunnel round-trip). Slope method: one
+        # in-VMEM-looping jit per chain length, difference out the
+        # dispatch + HBM-read constant.
         from mqgan_tpu.nn.activations import aptx
 
         n_elem = 4096 * 4096
+
+        def rate(fn, n1=256, n2=2048):
+            def chain(x, n):
+                def body(i, c):
+                    return fn(c + i * jnp.bfloat16(1e-8))
+
+                return jnp.sum(jax.lax.fori_loop(0, n, body, x)
+                               .astype(jnp.float32))
+
+            times = {}
+            for n in (n1, n2):
+                c = jax.jit(lambda x, _n=n: chain(x, _n)).lower(
+                    jnp.zeros((4096, 4096), dt)).compile()
+                xs = _stage_inputs(rng, (4096, 4096), dt, n=1)[0]
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    _ = float(np.asarray(c(xs)))
+                    ts.append(time.perf_counter() - t0)
+                times[n] = sorted(ts)[1]
+            per = (times[n2] - times[n1]) / (n2 - n1)
+            return per, n_elem / per / 1e9
+
         for tag, fn in [
-            ("vpu_aptx_bf16", lambda p, x: aptx(x)),
-            ("vpu_muladd_bf16", lambda p, x: x * 1.5 + 0.25),
-            ("vpu_tanh_bf16", lambda p, x: jnp.tanh(x)),
+            ("vpu_aptx_bf16", aptx),
+            ("vpu_muladd_bf16", lambda x: x * 1.5 + 0.25),
+            ("vpu_tanh_bf16", jnp.tanh),
         ]:
-            xs = _stage_inputs(rng, (4096, 4096), dt)
-            r = probe_component(tag, fn, {}, xs, want_grad=False)
-            r["gelem_per_s"] = round(n_elem / (r["fwd_ms"] / 1e3) / 1e9, 1)
-            print(json.dumps({"probe": tag,
-                              "gelem_per_s": r["gelem_per_s"]}), flush=True)
+            per, gelem = rate(fn)
+            r = {"probe": tag, "slope_us_per_pass": round(per * 1e6, 1),
+                 "gelem_per_s": round(gelem, 1)}
+            print(json.dumps(r), flush=True)
             results.append(r)
 
     # ---- mel-mixer (plain + chunked remat) -----------------------------
@@ -190,6 +216,33 @@ def main(argv=None):
             return ref.apply(p, x)
 
         results.append(probe_component("refiner", apply_ref, params, xs))
+
+    # ---- refiner per-level backward (where does the 1.5x to peak sit?) -
+    if want("refiner_levels"):
+        from mqgan_tpu.nn.unet import ConvBlock
+
+        base = cfg.model.generator.refiner_base_channels
+        depth = cfg.model.generator.refiner_depth
+        f = mel_ch + mel_ch // cfg.model.generator.refiner_hidden_proj_divisor
+        levels = [("pre", T, 1, base, base <= 64)]
+        for i in range(depth):
+            levels.append((f"down{i}", T >> (i + 1), base << i,
+                           base << (i + 1), False))
+        levels.append(("mid", T >> depth, base << depth, base << depth,
+                       False))
+        for i in range(depth):
+            h = T >> (depth - 1 - i)
+            cin = (base << (depth - 1 - i)) * 3  # up concat: 2C skip + C
+            levels.append((f"up{i}", h, cin, base << (depth - 1 - i), False))
+        for name, h, cin, cout, packed in levels:
+            blk = ConvBlock(cout, dropout=0.1, dtype=dt, packed=packed)
+            x0 = jnp.zeros((B, h, f, cin), jnp.float32)
+            params = jax.jit(blk.init)(jax.random.key(0), x0)
+            xs = _stage_inputs(rng, (B, h, f, cin), dt)
+            r = probe_component(
+                f"refiner_{name}_h{h}_c{cin}to{cout}",
+                lambda p, x, _b=blk: _b.apply(p, x), params, xs)
+            results.append(r)
 
     # ---- trunk (encoder+decoder residual blocks) -----------------------
     if want("trunk"):
