@@ -253,6 +253,24 @@ class TrainConfig:
         # tolerate extra project key inside wandb
         wandb_d = {k: v for k, v in wandb_d.items() if k in ("entity", "project")}
 
+        def _known(section: str, d_in: Mapping[str, Any], cls):
+            """Filter to the dataclass's fields, WARNING on dropped keys —
+            a typo like `epochs:` (vs the reference's `num_epochs`,
+            model_config_*.yaml:34) must not silently fall back to the
+            default."""
+            names = {f.name for f in dataclasses.fields(cls)}
+            unknown = sorted(set(d_in) - names)
+            if unknown:
+                import warnings
+
+                warnings.warn(
+                    f"config: ignoring unknown key(s) {unknown} in "
+                    f"'{section}' (known: {sorted(names)})", stacklevel=3)
+            return {k: v for k, v in d_in.items() if k in names}
+
+        train_d = _known("training", train_d, TrainingConfig)
+        lw_d = _known("training.loss_weights", lw_d, LossWeights)
+
         return TrainConfig(
             project_name=d.get("project_name", "MQGAN"),
             data=DataConfig(**data_d),
@@ -263,16 +281,13 @@ class TrainConfig:
                 discriminator_multibin=MultiBinDiscriminatorConfig(**mb_d),
             ),
             training=TrainingConfig(
-                **{k: v for k, v in train_d.items()
-                   if k in {f.name for f in dataclasses.fields(TrainingConfig)}},
-                loss_weights=LossWeights(
-                    **{k: v for k, v in lw_d.items()
-                       if k in {f.name for f in dataclasses.fields(LossWeights)}}
-                ),
+                **train_d,
+                loss_weights=LossWeights(**lw_d),
             ),
             logging=LoggingConfig(
-                **{k: v for k, v in log_d.items()
-                   if k in ("eval_interval", "save_interval", "num_plot_examples")},
+                **{k: v for k, v in _known("logging", log_d,
+                                           LoggingConfig).items()
+                   if k != "wandb"},
                 wandb=WandbConfig(**wandb_d),
             ),
         )

@@ -279,11 +279,14 @@ class Trainer:
         k = min(self.config.logging.num_plot_examples, mel_h.shape[0])
         for i in range(k):
             try:
-                save_triptych(
+                png = save_triptych(
                     self.config.data.output_dir,
                     f"epoch_{epoch:03d}_train_{i + 1}",
                     mel_h[i], pre_h[i], post_h[i], length=int(lens_h[i]),
                 )
+                self.logger.log_image(
+                    f"train_spectrograms/example_{i + 1}", png,
+                    step=int(self.state.step))
             except Exception as e:  # plotting is best-effort
                 print(f"train plotting failed: {e}")
                 break
@@ -344,10 +347,13 @@ class Trainer:
             pre, post, m = self._eval_clip(mel, gen_params)
             metrics_acc.append(m)
             try:
-                save_triptych(
+                png = save_triptych(
                     cfg.data.output_dir, f"epoch_{epoch:03d}_eval_{i + 1}",
                     mel, pre, post, length=mel.shape[0],
                 )
+                self.logger.log_image(
+                    f"eval_spectrograms/example_{i + 1}", png,
+                    step=int(self.state.step))
             except Exception as e:  # plotting is best-effort
                 print(f"plotting failed: {e}")
         if metrics_acc:

@@ -88,6 +88,17 @@ class MetricsLogger:
         if self._wandb is not None:
             self._wandb.log(dict(metrics), step=step)
 
+    def log_image(self, tag: str, path: str, step: int | None = None) -> None:
+        """Mirror an on-disk PNG to wandb as a ``wandb.Image`` (the
+        reference logs spectrogram triptychs this way, train.py:568-573,
+        615-620). The PNG on disk stays the system of record; without an
+        active wandb run this is a no-op."""
+        if self._wandb is not None and path:
+            try:
+                self._wandb.log({tag: self._wandb.Image(path)}, step=step)
+            except Exception:  # never let image mirroring kill training
+                pass
+
     def close(self):
         self._f.close()
         if self._wandb is not None:

@@ -118,3 +118,25 @@ def test_pad_batch_warns_on_truncation():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         policy.pad_batch([np.zeros((100, 4), np.float32)])
+
+
+def test_config_warns_on_unknown_training_keys():
+    """A typo like `epochs:` (the schema key is the reference's
+    `num_epochs`, model_config_*.yaml:34) must warn, not silently train
+    with the 1000-epoch default."""
+    import warnings
+
+    from mqgan_tpu.core.config import TrainConfig
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        cfg = TrainConfig.from_dict({"training": {"epochs": 2}})
+        assert cfg.training.num_epochs == 1000  # typo'd key ignored...
+        assert any("epochs" in str(x.message) for x in w)  # ...but loudly
+
+    # the shipped reference YAMLs stay warning-free
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        TrainConfig.from_yaml(
+            "/root/reference/configs/model_config_hifispeech.yaml")
+        assert not w, [str(x.message) for x in w]

@@ -217,3 +217,37 @@ def test_eval_covers_full_length(tmp_path):
         m["eval_recon_post_mse"],
         float(np.mean((post - long_mel) ** 2)), rtol=1e-6)
     trainer.logger.close()
+
+
+def test_metrics_logger_mirrors_images_to_wandb(tmp_path):
+    """log_image sends the on-disk triptych PNG as a wandb.Image when a run
+    is active (reference train.py:568-573) and is a no-op otherwise."""
+    from mqgan_tpu.utils.logging import MetricsLogger
+
+    lg = MetricsLogger(str(tmp_path), "t")
+    lg.log_image("x", str(tmp_path / "missing.png"), step=1)  # no wandb: no-op
+
+    class FakeWandb:
+        class Image:
+            def __init__(self, path):
+                self.path = path
+
+        def __init__(self):
+            self.logged = []
+
+        def log(self, d, step=None):
+            self.logged.append((d, step))
+
+        def finish(self):
+            pass
+
+    fw = FakeWandb()
+    lg._wandb = fw
+    png = tmp_path / "a.png"
+    png.write_bytes(b"\x89PNG")
+    lg.log_image("train_spectrograms/example_1", str(png), step=7)
+    (d, step), = fw.logged
+    img = d["train_spectrograms/example_1"]
+    assert isinstance(img, FakeWandb.Image) and img.path == str(png)
+    assert step == 7
+    lg.close()
