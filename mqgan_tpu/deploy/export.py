@@ -168,9 +168,14 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute dtype in the exported programs")
     p.add_argument("--int8_refiner", action="store_true",
-                   help="serve the refiner's wide convs on the int8 MXU "
-                        "path (1.32x/conv; ~1e-2 output deviation — see "
-                        "docs/SERVING.md)")
+                   help="EXPERIMENTAL: serve the refiner's wide convs on "
+                        "the int8 MXU path. Measured only 1.04x end-to-end "
+                        "for ~3%%-of-range output deviation (1.32x on the "
+                        "isolated conv; quantize/rescale passes eat the "
+                        "rest — docs/SERVING.md); the forward's other "
+                        "costs are activation-bound, so wider int8 "
+                        "coverage cannot recover the gap. Not recommended "
+                        "for production.")
     args = p.parse_args(argv)
 
     cfg = TrainConfig.from_yaml(args.config)
