@@ -126,7 +126,9 @@ def _bench_train(cfg, mel_ch, tag, b=16, t=256, remat=False):
     mels = [jnp.asarray(rng.standard_normal((b, t, mel_ch)).astype(np.float32))
             for _ in range(ITERS + 2)]
     lens = jnp.full((b,), t, jnp.int32)
-    k = jax.random.key(0)
+    # the shipped training default (rbg since round 3 — dropout masks were
+    # 59% of the step under threefry, benchmarks/ablate_step.py)
+    k = jax.random.key(0, impl=cfg.training.rng_impl)
     state0, _, _ = create_train_state(
         gen_variables=jax.jit(gen.init)(k, mels[0], lens),
         patch_variables=jax.jit(patch.init)(k, mels[0], lens),

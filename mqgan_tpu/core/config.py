@@ -177,6 +177,16 @@ class TrainingConfig:
     use_fm_loss: bool = False
     clip_grad_norm: float = 1.0
     seed: int = 42
+    # PRNG implementation for the training key tree. "rbg" (XLA
+    # RngBitGenerator, hardware-backed) runs dropout-mask generation 7.6x
+    # faster than "threefry2x32" on TPU v5e (311.6 vs 41.2 Gelem/s,
+    # benchmarks/README.md "Dropout/RNG") — and dropout was measured at
+    # 59% of the flagship B=64 --remat warmup step under threefry
+    # (benchmarks/ablate_step.py). Trade-off: rbg streams are
+    # backend-dependent (CPU vs TPU runs see different dropout draws;
+    # iid either way), and a resumed run must keep the impl it was
+    # trained with (the checkpointed key's shape differs).
+    rng_impl: str = "rbg"
     no_cuda: bool = False  # accepted for compat; meaningless on TPU
     pretrained: str | None = None
 

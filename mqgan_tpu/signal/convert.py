@@ -7,9 +7,12 @@ clips outside [1 s, 15 s], extract torchaudio-parity log-mels
 (signal/mel.py), save `{name}_mel.npy`; fan work out over
 `multiprocessing.cpu_count()` worker processes with static chunking.
 
-The mel front end (signal/mel.py) is jitted and runs on whatever device
-JAX selects; with --num_workers 1 the single process can use the
-accelerator directly, while multiprocess fan-out keeps workers on CPU.
+The mel front end (signal/mel.py) is jitted and pinned to CPU: every file
+has a distinct length, so an accelerator backend would pay one compile per
+file (minutes per file through a tunneled backend), and the reference's
+converter is CPU torchaudio anyway.  The CLI's `--platform` flag (default
+cpu) pins each worker process via jax.config — the env var alone is not
+enough where site config re-forces an accelerator platform.
 
 Usage: python -m mqgan_tpu.signal.convert --config spec_config.yaml
        [--input_folder ...] [--output_folder ...]
@@ -51,7 +54,7 @@ class MelExtractor:
             try:
                 cpu = jax.devices("cpu")[0]
             except RuntimeError:
-                cpu = None
+                cpu = None  # platform list excludes CPU (e.g. forced TPU)
             self._frontend = MelFrontend(self.config.spectrogram, device=cpu)
         return self._frontend
 
@@ -82,7 +85,14 @@ class MelExtractor:
             return False
 
 
-def _run_shard(shard_id: int, tasks: List[Tuple[str, str]], config: SpecConfig):
+def _run_shard(shard_id: int, tasks: List[Tuple[str, str]], config: SpecConfig,
+               platform: str | None = None):
+    if platform:
+        # per-process: the env var alone can be re-forced by site config,
+        # so pin the platform through jax.config before first device use
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     extractor = MelExtractor(config)
     n = len(tasks)
     for i, (file_path, output_dir) in enumerate(tasks):
@@ -114,7 +124,8 @@ def collect_tasks(config: SpecConfig) -> List[Tuple[str, str]]:
     return tasks
 
 
-def run(config: SpecConfig, num_workers: int | None = None):
+def run(config: SpecConfig, num_workers: int | None = None,
+        platform: str | None = None):
     config.validate()
     os.makedirs(config.io.output_folder, exist_ok=True)
     tasks = collect_tasks(config)
@@ -124,14 +135,15 @@ def run(config: SpecConfig, num_workers: int | None = None):
 
     num_workers = num_workers or multiprocessing.cpu_count()
     if num_workers <= 1 or len(tasks) < 4:
-        _run_shard(0, tasks, config)
+        _run_shard(0, tasks, config, platform)
         return
     shards = shard_tasks(tasks, num_workers)
     procs = []
     for i, shard in enumerate(shards):
         if not shard:
             continue
-        p = multiprocessing.Process(target=_run_shard, args=(i, shard, config))
+        p = multiprocessing.Process(target=_run_shard,
+                                    args=(i, shard, config, platform))
         p.start()
         procs.append(p)
     for p in procs:
@@ -139,9 +151,6 @@ def run(config: SpecConfig, num_workers: int | None = None):
 
 
 def main(argv=None):
-    from mqgan_tpu.utils.platform import apply_platform_env
-
-    apply_platform_env()  # honor JAX_PLATFORMS even under site overrides
     parser = argparse.ArgumentParser(
         description="Convert audio files to log-mel spectrograms."
     )
@@ -149,6 +158,13 @@ def main(argv=None):
     parser.add_argument("--input_folder", type=str, default=None)
     parser.add_argument("--output_folder", type=str, default=None)
     parser.add_argument("--num_workers", type=int, default=None)
+    parser.add_argument("--platform", type=str, default="cpu",
+                        help="JAX platform for the mel frontend (default "
+                             "cpu — distinct per-file lengths mean one "
+                             "accelerator compile per file, so host CPU is "
+                             "the right backend for this data-prep tool "
+                             "even when the ambient JAX_PLATFORMS names an "
+                             "accelerator)")
     args = parser.parse_args(argv)
 
     import dataclasses
@@ -161,7 +177,7 @@ def main(argv=None):
         io = dataclasses.replace(io, output_folder=args.output_folder)
     config = dataclasses.replace(config, io=io)
 
-    run(config, num_workers=args.num_workers)
+    run(config, num_workers=args.num_workers, platform=args.platform)
 
 
 if __name__ == "__main__":

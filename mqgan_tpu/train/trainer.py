@@ -136,7 +136,10 @@ class Trainer:
         t = max(cfg.crop_lens)
         mel = jnp.zeros((cfg.data.batch_size, t, cfg.model.mel_channels), jnp.float32)
         lengths = jnp.full((cfg.data.batch_size,), t, jnp.int32)
-        k = jax.random.key(cfg.training.seed)
+        # the key's impl propagates to every split/fold_in/draw below it;
+        # rbg makes in-step dropout masks ~7.6x cheaper on TPU (see
+        # TrainingConfig.rng_impl)
+        k = jax.random.key(cfg.training.seed, impl=cfg.training.rng_impl)
         kg, kp, km, kr = jax.random.split(k, 4)
         # jitted init: unjitted tracing executes op-by-op on the device,
         # which takes minutes for the flagship model on remote backends
@@ -413,6 +416,13 @@ def main(argv=None):
                         help="persistent XLA compile-cache dir (or env "
                              "MQGAN_COMPILATION_CACHE): re-runs skip the "
                              "multi-minute train-step compiles")
+    parser.add_argument("--rng_impl", type=str, default=None,
+                        choices=["rbg", "threefry2x32"],
+                        help="training PRNG: rbg (default; hardware RNG, "
+                             "7.6x faster dropout masks on TPU) or "
+                             "threefry2x32 (bit-identical across backends; "
+                             "REQUIRED when resuming a checkpoint trained "
+                             "with it)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize mixer/refiner activations in "
                              "the backward pass (enables large-batch "
@@ -465,6 +475,11 @@ def main(argv=None):
                     config.model.generator, remat=True))
         )
 
+    if args.rng_impl:
+        config = dataclasses.replace(
+            config, training=dataclasses.replace(config.training,
+                                                 rng_impl=args.rng_impl)
+        )
     trainer = Trainer(
         config, use_wandb=not args.no_wandb,
         dtype=jnp.float32 if args.fp32 else jnp.bfloat16,
