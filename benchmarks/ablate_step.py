@@ -15,6 +15,12 @@ the generator half; the GAN phase adds the already-probed D-side on top):
   pre_only    loss on recon_pre only -> refiner fwd+bwd DCE'd out
   fwd_loss    forward + loss value only, dropout ON (no backward, no opt)
   fwd_det     forward + loss value only, deterministic
+  drop_mixers_only  full step, dropout active ONLY in the two mel-mixers
+                    (trunk blocks + refiner forced deterministic)
+  drop_no_mixers    full step, dropout everywhere EXCEPT the mel-mixers
+  (the last two localize the remaining in-context dropout cost: mixer
+  hiddens are 4.3G elements each and recompute in the checkpointed
+  backward, everything else is ~100x smaller feature maps)
 
 Methodology: same as bench_all._bench_train — AOT compile, chain the
 donated state through ITERS pre-staged distinct inputs, force every
@@ -53,7 +59,33 @@ def build(cfg, variant, dtype):
     from mqgan_tpu.train.state import make_optimizers
     from mqgan_tpu.train.step import build_models
 
-    gen, _, _ = build_models(cfg, dtype)
+    import mqgan_tpu.models.preencoder as pe_mod
+    from mqgan_tpu.nn.mixer2d import MelMixer2D
+    from mqgan_tpu.nn.unet import UNetRefiner
+
+    class _DetMixer(MelMixer2D):
+        """Mixer with dropout forced off (deterministic), same param tree."""
+
+        def __call__(self, x, pad_mask=None, deterministic=True,
+                     return_hidden=False):
+            return super().__call__(x, pad_mask, True, return_hidden)
+
+    class _DetRefiner(UNetRefiner):
+        def __call__(self, x, pad_mask=None, deterministic=True):
+            return super().__call__(x, pad_mask, True)
+
+    saved = (pe_mod.MelMixer2D, pe_mod.UNetRefiner)
+    try:
+        if variant == "drop_no_mixers":
+            pe_mod.MelMixer2D = _DetMixer
+        elif variant == "drop_mixers_only":
+            pe_mod.UNetRefiner = _DetRefiner
+            cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+                cfg.model, generator=dataclasses.replace(
+                    cfg.model.generator, dropout=0.0)))
+        gen, _, _ = build_models(cfg, dtype)
+    finally:
+        pe_mod.MelMixer2D, pe_mod.UNetRefiner = saved
     gen_tx, _ = make_optimizers(cfg.training)
     recon_all = partial(masked_mel_loss, loss_type="mse", group_size=1)
     recon_group = partial(masked_mel_loss, loss_type="mse", group_size=16)
@@ -61,7 +93,8 @@ def build(cfg, variant, dtype):
     deterministic = variant in ("nodrop", "nodrop_opt", "fwd_det")
     want_post = variant != "pre_only"
     want_bwd = variant not in ("fwd_loss", "fwd_det")
-    want_opt = variant in ("full", "nodrop", "pre_only")
+    want_opt = variant in ("full", "nodrop", "pre_only",
+                           "drop_mixers_only", "drop_no_mixers")
 
     def step(state, mel, lengths):
         rng, r_drop, r_fsq = jax.random.split(state.rng, 3)
