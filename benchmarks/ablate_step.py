@@ -32,10 +32,12 @@ Writes benchmarks/ablate_step.json; one JSON line per variant.
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
 import sys
 import time
+from contextlib import contextmanager
 
 import numpy as np
 
@@ -46,19 +48,16 @@ PRACTICAL_PEAK = 216e12
 B, T = 64, 256
 
 
-def build(cfg, variant, dtype):
-    """Return a jittable fn(state, mel, lengths) -> (state, scalar)."""
-    import dataclasses
-    from functools import partial
+@contextmanager
+def variant_patch(variant):
+    """Swap deterministic mixer/refiner subclasses into preencoder's globals.
 
-    import jax
-    import jax.numpy as jnp
-    import optax
-
-    from mqgan_tpu.losses.recon import masked_mel_loss
-    from mqgan_tpu.train.state import make_optimizers
-    from mqgan_tpu.train.step import build_models
-
+    PreEncoder.setup() resolves MelMixer2D / UNetRefiner from the
+    preencoder module namespace LAZILY, at trace time — so the patch must
+    stay active through jit.lower().compile(), not just through module
+    construction.  (A finally-right-after-build restore silently measures
+    the unpatched model: drop_no_mixers came out bit-equal to full.)
+    """
     import mqgan_tpu.models.preencoder as pe_mod
     from mqgan_tpu.nn.mixer2d import MelMixer2D
     from mqgan_tpu.nn.unet import UNetRefiner
@@ -80,12 +79,34 @@ def build(cfg, variant, dtype):
             pe_mod.MelMixer2D = _DetMixer
         elif variant == "drop_mixers_only":
             pe_mod.UNetRefiner = _DetRefiner
-            cfg = dataclasses.replace(cfg, model=dataclasses.replace(
-                cfg.model, generator=dataclasses.replace(
-                    cfg.model.generator, dropout=0.0)))
-        gen, _, _ = build_models(cfg, dtype)
+        yield
     finally:
         pe_mod.MelMixer2D, pe_mod.UNetRefiner = saved
+
+
+def build(cfg, variant, dtype):
+    """Return a jittable fn(state, mel, lengths) -> (state, scalar).
+
+    Must be traced/compiled inside ``variant_patch(variant)``.
+    """
+    import dataclasses
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mqgan_tpu.losses.recon import masked_mel_loss
+    from mqgan_tpu.train.state import make_optimizers
+    from mqgan_tpu.train.step import build_models
+
+    if variant == "drop_mixers_only":
+        # Trunk-block dropout comes from cfg; the mixers hardcode 0.1
+        # (reference quirk), so zeroing cfg.dropout leaves mixers active.
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, generator=dataclasses.replace(
+                cfg.model.generator, dropout=0.0)))
+    gen, _, _ = build_models(cfg, dtype)
     gen_tx, _ = make_optimizers(cfg.training)
     recon_all = partial(masked_mel_loss, loss_type="mse", group_size=1)
     recon_group = partial(masked_mel_loss, loss_type="mse", group_size=16)
@@ -187,12 +208,23 @@ def main(argv=None):
     variants = args.variants or [
         "full", "nodrop", "nodrop_opt", "pre_only", "fwd_loss", "fwd_det"]
     results = []
+    hlo_hash = {}
     for v in variants:
-        step = build(cfg, v, dt)
-        jitted = jax.jit(step, donate_argnums=(0,))
-        state = jax.tree_util.tree_map(jnp.copy, state0)
-        print(f"compiling {v} ...", flush=True)
-        compiled = jitted.lower(state, mels[0], lens).compile()
+        with variant_patch(v):
+            step = build(cfg, v, dt)
+            jitted = jax.jit(step, donate_argnums=(0,))
+            state = jax.tree_util.tree_map(jnp.copy, state0)
+            print(f"compiling {v} ...", flush=True)
+            lowered = jitted.lower(state, mels[0], lens)
+            hlo_hash[v] = hashlib.sha1(
+                lowered.as_text().encode()).hexdigest()[:12]
+            if v in ("drop_no_mixers", "drop_mixers_only") and "full" in hlo_hash:
+                # guard against the silent-no-op failure mode: the patch
+                # must change the traced program, not just the label
+                assert hlo_hash[v] != hlo_hash["full"], (
+                    f"{v} lowered to the same HLO as 'full' — "
+                    "variant_patch did not take effect at trace time")
+            compiled = lowered.compile()
         try:
             flops = (compiled.cost_analysis() or {}).get("flops", 0.0)
         except Exception:
@@ -207,7 +239,8 @@ def main(argv=None):
         for l in outs:
             float(np.asarray(l))
         per = (time.perf_counter() - t0) / args.iters
-        r = {"variant": v, "ms_per_step": round(per * 1e3, 1),
+        r = {"variant": v, "hlo": hlo_hash[v],
+             "ms_per_step": round(per * 1e3, 1),
              "tflops": round(flops / 1e12, 2),
              "mfu_vs_practical_peak": round(
                  flops / per / PRACTICAL_PEAK, 3) if flops else 0.0}
