@@ -202,8 +202,13 @@ def bench_train_hifimusic():
     return _bench_train(cfg, cfg.model.mel_channels, "4_train_step_hifimusic")
 
 
-def bench_directory_scale():
-    """Config 5: the bench.py headline (B=64 T=512 reencode throughput)."""
+def bench_directory_scale(poly_mixers: bool = False):
+    """Config 5: the bench.py headline (B=64 T=512 reencode throughput).
+
+    poly_mixers=True A/Bs the Chebyshev mixer serving path
+    (ops/mixer_poly.py) on the same params and also reports its max output
+    deviation vs the exact path on one batch.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -214,20 +219,36 @@ def bench_directory_scale():
     b, t = 64, 512
     gen, params = _gen_and_params(cfg, jnp.bfloat16, b, t)
     pad = jnp.zeros((b, t), bool)
+    gen_run = gen.clone(poly_mixers=True) if poly_mixers else gen
 
     @jax.jit
     def reencode(mel):
-        idx = gen.apply(params, mel, pad, method=PreEncoder.encode)
-        return gen.apply(params, idx, pad, method=PreEncoder.decode)
+        idx = gen_run.apply(params, mel, pad, method=PreEncoder.encode)
+        return gen_run.apply(params, idx, pad, method=PreEncoder.decode)
 
     rng = np.random.default_rng(0)
     mk = lambda: (jnp.asarray(rng.standard_normal((b, t, 128)).astype(np.float32)),)
     med = _timeit(reencode, [mk() for _ in range(ITERS)], [mk(), mk()])
-    return {
-        "config": "5_directory_scale_reencode",
+    out = {
+        "config": ("5p_reencode_poly_mixers" if poly_mixers
+                   else "5_directory_scale_reencode"),
         "latency_ms": round(med * 1000, 2),
         "mel_frames_per_sec": round(b * t / med, 1),
     }
+    if poly_mixers:
+        @jax.jit
+        def reencode_exact(mel):
+            idx = gen.apply(params, mel, pad, method=PreEncoder.encode)
+            return gen.apply(params, idx, pad, method=PreEncoder.decode)
+
+        x = mk()[0]
+        a = np.asarray(reencode(x), np.float32)
+        e = np.asarray(reencode_exact(x), np.float32)
+        scale = float(np.abs(e).max())
+        out["max_abs_deviation"] = round(float(np.abs(a - e).max()), 5)
+        out["deviation_rel_to_max"] = round(
+            float(np.abs(a - e).max()) / max(scale, 1e-9), 6)
+    return out
 
 
 BENCHES = {
@@ -237,6 +258,7 @@ BENCHES = {
     "3b": bench_train_hifispeech_b64,
     "4": bench_train_hifimusic,
     "5": bench_directory_scale,
+    "5p": lambda: bench_directory_scale(poly_mixers=True),
 }
 
 
@@ -244,7 +266,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--configs", nargs="+",
                    default=["1", "2", "3", "3b", "4", "5"],
-                   choices=["1", "2", "3", "3b", "4", "5"])
+                   choices=["1", "2", "3", "3b", "4", "5", "5p"])
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results.json"))
     args = p.parse_args()

@@ -86,6 +86,7 @@ def export_preencoder(
         "buckets": sorted(int(t) for t in buckets),
         "platforms": list(platforms),
         "int8_refiner": bool(gen.int8_refiner),
+        "poly_mixers": bool(gen.poly_mixers),
         "files": {},
     }
     from mqgan_tpu.core.chunking import generator_halos
@@ -176,6 +177,13 @@ def main(argv=None):
                         "costs are activation-bound, so wider int8 "
                         "coverage cannot recover the gap. Not recommended "
                         "for production.")
+    p.add_argument("--poly_mixers", action="store_true",
+                   help="serve each mel-mixer's pointwise MLP as a "
+                        "Chebyshev interpolant of its exact scalar map "
+                        "(the mixers are VPU-transcendental-bound; "
+                        "ops/mixer_poly.py). Deviation is interpolation-"
+                        "level (~1e-4 relative, measured per batch range); "
+                        "see docs/SERVING.md for the end-to-end numbers.")
     args = p.parse_args(argv)
 
     cfg = TrainConfig.from_yaml(args.config)
@@ -188,6 +196,8 @@ def main(argv=None):
     gen = gen.clone(remat=False)
     if args.int8_refiner:
         gen = gen.clone(int8_refiner=True)
+    if args.poly_mixers:
+        gen = gen.clone(poly_mixers=True)
 
     from mqgan_tpu.utils.checkpoint import load_pretrained_generator
 

@@ -53,6 +53,13 @@ class PreEncoder(nn.Module):
     # output deviation). Ignored in training (non-deterministic calls fall
     # back). Same param tree — flip it on any trained checkpoint.
     int8_refiner: bool = False
+    # Serving-only: evaluate each mel-mixer's pointwise MLP as a Chebyshev
+    # interpolant of its exact scalar map (ops/mixer_poly.py) instead of the
+    # `channels[0]`-wide APTx expansion — the mixers are VPU-transcendental-
+    # bound (benchmarks/README.md "Mixer VPU roofline"). Ignored in training
+    # (non-deterministic calls fall back). Same param tree — flip it on any
+    # trained checkpoint.
+    poly_mixers: bool = False
     dtype: jnp.dtype | None = None
 
     @classmethod
@@ -99,7 +106,8 @@ class PreEncoder(nn.Module):
         self.proj = nn.Dense(ch[0], dtype=self.dtype, name="proj")
         self.pre = MelMixer2D(
             features=ch[0], kernel_size=5, depthwise=True, act="aptx",
-            dropout=0.1, hidden_chunk_t=mixer_chunk, dtype=self.dtype,
+            dropout=0.1, hidden_chunk_t=mixer_chunk,
+            poly_approx=self.poly_mixers, dtype=self.dtype,
             name="pre",
         )
         self.encoder_blocks = [
@@ -130,7 +138,8 @@ class PreEncoder(nn.Module):
         ]
         self.post = MelMixer2D(
             features=ch[0], kernel_size=5, depthwise=True, act="aptx",
-            dropout=0.1, hidden_chunk_t=mixer_chunk, dtype=self.dtype,
+            dropout=0.1, hidden_chunk_t=mixer_chunk,
+            poly_approx=self.poly_mixers, dtype=self.dtype,
             name="post",
         )
         self.out_proj = nn.Dense(self.mel_channels, dtype=self.dtype, name="out_proj")

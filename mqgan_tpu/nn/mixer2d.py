@@ -45,6 +45,15 @@ class MelMixer2D(nn.Module):
     # reference).  Same math; the dropout draw differs bitwise from the
     # plain path (iid elementwise either way).
     hidden_chunk_t: int | None = None
+    # poly_approx: serving-only fast path — the deterministic pointwise MLP
+    # is a scalar function g of the depthwise output (the expansion reads a
+    # single input plane), so replace the `features`-wide APTx evaluation
+    # per element with a per-batch-range Chebyshev interpolant of g
+    # (ops/mixer_poly.py).  Same param tree; non-deterministic calls fall
+    # back to the exact path.  Accuracy is measured in
+    # tests/test_mixer_poly.py and docs/SERVING.md.
+    poly_approx: bool = False
+    poly_degree: int = 160
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -91,6 +100,39 @@ class MelMixer2D(nn.Module):
                       "conv_out": co.variables["params"]}
             return fused_mel_mixer(
                 x.astype(self.dtype or x.dtype), lengths, params)
+
+        use_poly = (
+            self.poly_approx and deterministic and not return_hidden
+            and self.depthwise and self.act == "aptx"
+        )
+        if use_poly:
+            from mqgan_tpu.ops.mixer_poly import poly_mixer_apply
+
+            k = (self.kernel_size, self.kernel_size)
+            dw_out = WNConv(1, k, use_weight_norm=self.use_weight_norm,
+                            dtype=self.dtype, name="dw")(img)
+            dw_out = mask4(dw_out)
+            pw = WNConv(self.features, (1, 1),
+                        use_weight_norm=self.use_weight_norm,
+                        dtype=self.dtype, name="pw")
+            co = WNConv(1, (1, 1), use_weight_norm=False, dtype=self.dtype,
+                        name="conv_out")
+            # tiny dummy calls declare the identical param tree (pattern as
+            # the fused path); outputs are unused and DCE'd under jit
+            d = pw(dw_out[:1, :1, :1])
+            _ = co(d)
+            pp = pw.variables["params"]
+            if self.use_weight_norm:
+                from mqgan_tpu.nn.conv import weight_norm_kernel
+                w1 = weight_norm_kernel(pp["v"], pp["g"],
+                                        jnp.float32).reshape(-1)
+            else:
+                w1 = pp["kernel"].astype(jnp.float32).reshape(-1)
+            cp = co.variables["params"]
+            return poly_mixer_apply(
+                dw_out[..., 0], pad_mask, w1, pp["bias"],
+                cp["kernel"].reshape(-1), cp["bias"][0],
+                degree=self.poly_degree)
 
         use_chunked = (
             self.hidden_chunk_t is not None and self.depthwise

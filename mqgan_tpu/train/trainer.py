@@ -279,16 +279,19 @@ class Trainer:
         pre, post, _idx, _m = self._eval_step(self._local_gen_params(), mel, lengths)
         mel_h, pre_h, post_h = (np.asarray(jax.device_get(x)) for x in (mel, pre, post))
         lens_h = np.asarray(jax.device_get(lengths))
-        k = min(self.config.logging.num_plot_examples, mel_h.shape[0])
-        for i in range(k):
+        # skip zero-length fill rows (short final batches pad with length-0
+        # rows so they carry no loss weight — nothing to plot there)
+        rows = [i for i in range(mel_h.shape[0]) if lens_h[i] > 0]
+        for slot, i in enumerate(
+                rows[: self.config.logging.num_plot_examples], start=1):
             try:
                 png = save_triptych(
                     self.config.data.output_dir,
-                    f"epoch_{epoch:03d}_train_{i + 1}",
+                    f"epoch_{epoch:03d}_train_{slot}",
                     mel_h[i], pre_h[i], post_h[i], length=int(lens_h[i]),
                 )
                 self.logger.log_image(
-                    f"train_spectrograms/example_{i + 1}", png,
+                    f"train_spectrograms/example_{slot}", png,
                     step=int(self.state.step))
             except Exception as e:  # plotting is best-effort
                 print(f"train plotting failed: {e}")

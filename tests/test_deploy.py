@@ -117,6 +117,36 @@ def test_int8_refiner_export_roundtrip(small_gen, tmp_path, rng):
     assert np.abs(mel_q - mel_ref).max() < 0.1 * denom
 
 
+def test_poly_mixers_export_roundtrip(small_gen, tmp_path, rng):
+    """--poly_mixers export: Chebyshev mixer path bakes into the StableHLO
+    programs; manifest records it; outputs deviate only at interpolation
+    level from the exact path."""
+    from mqgan_tpu.deploy.export import export_preencoder
+    from mqgan_tpu.deploy.runtime import ExportedPreEncoder
+
+    gen, params = small_gen
+    out = str(tmp_path / "poly_export")
+    export_preencoder(gen.clone(poly_mixers=True), params, out,
+                      buckets=(32,), config_dict={"mel_channels": MEL},
+                      verify=True)
+    rt_p = ExportedPreEncoder(out)
+    assert rt_p.manifest["poly_mixers"] is True
+
+    spec = rng.standard_normal((2, 32, MEL)).astype(np.float32)
+    idx_p, mel_p = rt_p.reencode(spec)
+    from mqgan_tpu.core.masking import sequence_mask
+    pad = sequence_mask(32, jnp.asarray([32, 32]))
+    idx_ref = np.asarray(
+        gen.apply(params, jnp.asarray(spec), pad, method=PreEncoder.encode))
+    # pre-mixer interpolation error can flip FSQ rounding only at code
+    # boundaries
+    assert np.mean(idx_p == idx_ref) > 0.98
+    mel_ref = np.asarray(
+        gen.apply(params, jnp.asarray(idx_p), pad, method=PreEncoder.decode))
+    denom = max(np.abs(mel_ref).max(), 1e-6)
+    assert np.abs(mel_p - mel_ref).max() < 5e-3 * denom
+
+
 def test_codec_server_batches_and_matches_direct(export_dir, rng):
     """Micro-batching server == direct runtime per clip, and concurrent
     same-bucket submissions actually coalesce into shared batches."""
