@@ -105,6 +105,14 @@ class GeneratorConfig:
     # ~one extra forward through those modules for the memory that otherwise
     # blocks large-batch training (B=64 flagship OOMs without it)
     remat: bool = False
+    # EXPERIMENTAL: moment-matched Gaussian dropout on the mel-mixer hiddens
+    # (fast-dropout, Wang & Manning 2013): instead of Bernoulli-masking the
+    # (B, T, mel, channels[0]) hidden (4.29G draws per flagship mixer call,
+    # redrawn in the checkpointed backward), add N(0,1)-scaled noise with
+    # the exact dropout mean/variance to the contraction output — 512x
+    # fewer random draws. Changes the regularization noise distribution
+    # (not the reference's dropout); off by default.
+    fast_dropout: bool = False
 
     @property
     def codebook_size(self) -> int:

@@ -60,6 +60,9 @@ class PreEncoder(nn.Module):
     # (non-deterministic calls fall back). Same param tree — flip it on any
     # trained checkpoint.
     poly_mixers: bool = False
+    # EXPERIMENTAL (training): moment-matched Gaussian dropout on the mixer
+    # hiddens instead of Bernoulli masks — see GeneratorConfig.fast_dropout.
+    fast_dropout: bool = False
     dtype: jnp.dtype | None = None
 
     @classmethod
@@ -75,6 +78,7 @@ class PreEncoder(nn.Module):
             refiner_hidden_proj_divisor=cfg.refiner_hidden_proj_divisor,
             fsq_noise_dropout=cfg.fsq_noise_dropout,
             remat=cfg.remat,
+            fast_dropout=cfg.fast_dropout,
             dtype=dtype,
         )
 
@@ -107,7 +111,8 @@ class PreEncoder(nn.Module):
         self.pre = MelMixer2D(
             features=ch[0], kernel_size=5, depthwise=True, act="aptx",
             dropout=0.1, hidden_chunk_t=mixer_chunk,
-            poly_approx=self.poly_mixers, dtype=self.dtype,
+            poly_approx=self.poly_mixers, fast_dropout=self.fast_dropout,
+            dtype=self.dtype,
             name="pre",
         )
         self.encoder_blocks = [
@@ -139,7 +144,8 @@ class PreEncoder(nn.Module):
         self.post = MelMixer2D(
             features=ch[0], kernel_size=5, depthwise=True, act="aptx",
             dropout=0.1, hidden_chunk_t=mixer_chunk,
-            poly_approx=self.poly_mixers, dtype=self.dtype,
+            poly_approx=self.poly_mixers, fast_dropout=self.fast_dropout,
+            dtype=self.dtype,
             name="post",
         )
         self.out_proj = nn.Dense(self.mel_channels, dtype=self.dtype, name="out_proj")

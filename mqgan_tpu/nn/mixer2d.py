@@ -21,6 +21,27 @@ from mqgan_tpu.nn.activations import aptx, make_activation
 from mqgan_tpu.nn.conv import WNConv
 
 
+def _fast_dropout_contract(h, w2, key, keep_p):
+    """Moment-matched Gaussian replacement for dropout(h) @ w2.
+
+    Inverted Bernoulli dropout on h followed by the feature contraction has
+    mean sum_f w2 h and variance (1-p)/p * sum_f w2^2 h^2 per output
+    element; draw one standard normal per OUTPUT element instead of one
+    Bernoulli per HIDDEN element. Gradients flow through both moments.
+    """
+    mu = jnp.einsum("btcf,f->btc", h, w2)
+    var = jnp.einsum("btcf,f->btc", jnp.square(h), jnp.square(w2),
+                     preferred_element_type=jnp.float32)
+    var = var * ((1.0 - keep_p) / keep_p)
+    eps = jax.random.normal(key, mu.shape, jnp.float32)
+    # double-where safe sqrt: var is exactly 0 at padded/zero hiddens and
+    # d sqrt(0) = inf would poison the backward (inf * 0 = NaN)
+    pos = var > 0
+    std = jnp.sqrt(jnp.where(pos, var, 1.0))
+    noise = jnp.where(pos, eps * std, 0.0)
+    return mu + noise.astype(mu.dtype)
+
+
 class MelMixer2D(nn.Module):
     """fused=True evaluates the whole mixer as one Pallas kernel
     (ops/mixer_kernels.py) that never materializes the (B, T, C, features)
@@ -54,6 +75,18 @@ class MelMixer2D(nn.Module):
     # tests/test_mixer_poly.py and docs/SERVING.md.
     poly_approx: bool = False
     poly_degree: int = 160
+    # fast_dropout: EXPERIMENTAL training path — replace the Bernoulli mask
+    # on the (B, T, C, features) hidden with Gaussian noise on the
+    # contraction output carrying the exact dropout mean and variance
+    # (fast-dropout, Wang & Manning 2013):
+    #   out = sum_f w2 h            (mean of inverted dropout)
+    #       + eps * sqrt((1-p)/p * sum_f w2^2 h^2),  eps ~ N(0,1) per (b,t,c)
+    # `features`x fewer random draws per call; the draw cost was measured
+    # at 59% of the flagship step under threefry and is still the largest
+    # single dropout cost under rbg (benchmarks/README.md). Changes the
+    # noise distribution (per-output Gaussian instead of summed Bernoulli),
+    # NOT reference behavior — off by default.
+    fast_dropout: bool = False
     dtype: jnp.dtype | None = None
 
     @nn.compact
@@ -192,6 +225,9 @@ class MelMixer2D(nn.Module):
                 h = sc[..., None] * w1 + b1  # (B, tc, C, features)
                 h = jnp.where(mc[:, :, None, None], jnp.zeros((), h.dtype), h)
                 h = aptx(h)  # fixed aptx, same as the plain path's act
+                if use_dropout and self.fast_dropout:
+                    return _fast_dropout_contract(
+                        h, w2, key, keep_p) + b2[0]
                 if use_dropout:
                     keep = jax.random.bernoulli(key, keep_p, h.shape)
                     h = jnp.where(keep, h / keep_p, jnp.zeros((), h.dtype))
@@ -217,6 +253,18 @@ class MelMixer2D(nn.Module):
 
         out = mask4(out)
         hidden = make_activation(self.act)(out)
+        use_fast = (self.fast_dropout and not deterministic
+                    and self.dropout > 0.0 and not return_hidden)
+        if use_fast:
+            co = WNConv(1, (1, 1), use_weight_norm=False, dtype=self.dtype,
+                        name="conv_out")
+            _ = co(hidden[:1, :1, :1])  # declare the identical param tree
+            cp = co.variables["params"]
+            w2 = cp["kernel"].astype(hidden.dtype).reshape(-1)
+            b2 = cp["bias"].astype(hidden.dtype)
+            key = self.make_rng("dropout")
+            return _fast_dropout_contract(
+                hidden, w2, key, 1.0 - self.dropout) + b2[0]
         out = nn.Dropout(rate=self.dropout, deterministic=deterministic)(hidden)
         # back to a single plane (reference conv_out, preencoder.py:268)
         out = WNConv(1, (1, 1), use_weight_norm=False, dtype=self.dtype,

@@ -431,6 +431,12 @@ def main(argv=None):
                              "the backward pass (enables large-batch "
                              "training that otherwise OOMs; ~15%% slower "
                              "per step at equal batch)")
+    parser.add_argument("--fast_dropout", action="store_true",
+                        help="EXPERIMENTAL: moment-matched Gaussian dropout "
+                             "on the mel-mixer hiddens (features-x fewer "
+                             "random draws; changes the regularization "
+                             "noise distribution vs the reference's "
+                             "Bernoulli dropout)")
     parser.add_argument("--multihost", action="store_true",
                         help="multi-host (multi-slice) run: initialize "
                              "jax.distributed, shard train files per host, "
@@ -478,6 +484,12 @@ def main(argv=None):
                     config.model.generator, remat=True))
         )
 
+    if args.fast_dropout:
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(
+                config.model, generator=dataclasses.replace(
+                    config.model.generator, fast_dropout=True))
+        )
     if args.rng_impl:
         config = dataclasses.replace(
             config, training=dataclasses.replace(config.training,
