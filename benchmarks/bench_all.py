@@ -108,19 +108,27 @@ def bench_wav_to_mel():
 PRACTICAL_PEAK_FLOPS = 216e12  # measured bf16 peak, benchmarks/README.md
 
 
-def _bench_train(cfg, mel_ch, tag, b=16, t=256, remat=False):
+def _bench_train(cfg, mel_ch, tag, b=16, t=256, remat=False,
+                 fast_dropout=False, mixer_chunk_t=None):
     import jax
     import jax.numpy as jnp
 
     from mqgan_tpu.train.state import create_train_state
     from mqgan_tpu.train.step import build_models, make_train_step
 
+    gen_over = {}
     if remat:
+        gen_over["remat"] = True
+    if fast_dropout:
+        gen_over["fast_dropout"] = True
+    if mixer_chunk_t is not None:
+        gen_over["mixer_chunk_t"] = mixer_chunk_t
+    if gen_over:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, generator=dataclasses.replace(
-                cfg.model.generator, remat=True)))
+                cfg.model.generator, **gen_over)))
     gen, patch, mb = build_models(cfg, jnp.bfloat16)
     rng = np.random.default_rng(0)
     mels = [jnp.asarray(rng.standard_normal((b, t, mel_ch)).astype(np.float32))
@@ -180,6 +188,24 @@ def bench_train_hifispeech_b64():
 
     return _bench_train(TrainConfig.from_dict({}), 128,
                         "3b_train_step_hifispeech_b64", b=64, remat=True)
+
+
+def bench_train_b64_fast_dropout():
+    """A/B: B=64 remat + --fast_dropout (Gaussian mixer dropout)."""
+    from mqgan_tpu.core.config import TrainConfig
+
+    return _bench_train(TrainConfig.from_dict({}), 128,
+                        "3bf_train_step_b64_fast_dropout", b=64, remat=True,
+                        fast_dropout=True)
+
+
+def bench_train_b64_chunk64():
+    """A/B: B=64 remat with 64-frame mixer chunks (serialization trade)."""
+    from mqgan_tpu.core.config import TrainConfig
+
+    return _bench_train(TrainConfig.from_dict({}), 128,
+                        "3bc_train_step_b64_chunk64", b=64, remat=True,
+                        mixer_chunk_t=64)
 
 
 def bench_train_hifimusic():
@@ -256,6 +282,8 @@ BENCHES = {
     "2": bench_wav_to_mel,
     "3": bench_train_hifispeech,
     "3b": bench_train_hifispeech_b64,
+    "3bf": bench_train_b64_fast_dropout,
+    "3bc": bench_train_b64_chunk64,
     "4": bench_train_hifimusic,
     "5": bench_directory_scale,
     "5p": lambda: bench_directory_scale(poly_mixers=True),
@@ -266,7 +294,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--configs", nargs="+",
                    default=["1", "2", "3", "3b", "4", "5"],
-                   choices=["1", "2", "3", "3b", "4", "5", "5p"])
+                   choices=["1", "2", "3", "3b", "3bf", "3bc", "4", "5", "5p"])
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results.json"))
     args = p.parse_args()

@@ -113,6 +113,11 @@ class GeneratorConfig:
     # fewer random draws. Changes the regularization noise distribution
     # (not the reference's dropout); off by default.
     fast_dropout: bool = False
+    # time-chunk size for the checkpointed mixer-hidden evaluation under
+    # remat (nn/mixer2d.py hidden_chunk_t). Larger chunks cut lax.map
+    # serialization overhead in the backward at the cost of a bigger
+    # per-chunk hidden ((B, chunk, mel, channels[0]) bf16)
+    mixer_chunk_t: int = 32
 
     @property
     def codebook_size(self) -> int:

@@ -63,6 +63,9 @@ class PreEncoder(nn.Module):
     # EXPERIMENTAL (training): moment-matched Gaussian dropout on the mixer
     # hiddens instead of Bernoulli masks — see GeneratorConfig.fast_dropout.
     fast_dropout: bool = False
+    # chunk size for the remat mixer-hidden evaluation (GeneratorConfig
+    # .mixer_chunk_t)
+    mixer_chunk_t: int = 32
     dtype: jnp.dtype | None = None
 
     @classmethod
@@ -79,6 +82,7 @@ class PreEncoder(nn.Module):
             fsq_noise_dropout=cfg.fsq_noise_dropout,
             remat=cfg.remat,
             fast_dropout=cfg.fast_dropout,
+            mixer_chunk_t=cfg.mixer_chunk_t,
             dtype=dtype,
         )
 
@@ -106,7 +110,7 @@ class PreEncoder(nn.Module):
         # the mixers/refiner on top was measured strictly worse (the remat
         # recompute re-materializes the mixer work a second time and the
         # refiner recompute costs ~a full extra forward for ~1 GB of temps).
-        mixer_chunk = 32 if self.remat else None
+        mixer_chunk = self.mixer_chunk_t if self.remat else None
         self.proj = nn.Dense(ch[0], dtype=self.dtype, name="proj")
         self.pre = MelMixer2D(
             features=ch[0], kernel_size=5, depthwise=True, act="aptx",
