@@ -48,9 +48,14 @@ def synth_gaussian_tracks(rng, b, t, mel):
     return np.clip(out, -11.5, 3.0)
 
 
-def medium_cfg(variant):
+def medium_cfg(variant, lr=None, warmup=None):
     from mqgan_tpu.core.config import TrainConfig
 
+    train_d = {}
+    if lr is not None:
+        train_d["lr"] = lr
+    if warmup is not None:
+        train_d["warmup_steps"] = warmup
     cfg = TrainConfig.from_dict({
         "model": {
             "mel_channels": 64,
@@ -62,6 +67,7 @@ def medium_cfg(variant):
                 "refiner_depth": 2,
             },
         },
+        "training": train_d,
     })
     over = {}
     if variant == "fast":
@@ -77,14 +83,14 @@ def medium_cfg(variant):
     return cfg
 
 
-def run_variant(variant, steps, b, t, log_every):
+def run_variant(variant, steps, b, t, log_every, lr=None, warmup=None):
     import jax
     import jax.numpy as jnp
 
     from mqgan_tpu.train.state import create_train_state
     from mqgan_tpu.train.step import build_models, make_train_step
 
-    cfg = medium_cfg(variant)
+    cfg = medium_cfg(variant, lr=lr, warmup=warmup)
     mel_ch = cfg.model.mel_channels
     gen, patch, mb = build_models(cfg, jnp.bfloat16)
     data_rng = np.random.default_rng(0)  # SHARED stream across variants
@@ -126,12 +132,16 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--frames", type=int, default=128)
     p.add_argument("--log_every", type=int, default=25)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--warmup", type=int, default=None,
+                   help="override warmup_steps (default 1000 is most of a "
+                        "short smoke; ~steps/6 makes the loss move)")
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "convergence_ab.json"))
     args = p.parse_args(argv)
 
     results = [run_variant(v, args.steps, args.batch, args.frames,
-                           args.log_every)
+                           args.log_every, lr=args.lr, warmup=args.warmup)
                for v in args.variants]
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
