@@ -32,5 +32,7 @@ run python benchmarks/bench_all.py --configs 3bf \
     --out benchmarks/results_r3_fastdrop.json
 run python benchmarks/bench_all.py --configs 3bc \
     --out benchmarks/results_r3_chunk.json
+run python benchmarks/bench_streaming.py \
+    --out benchmarks/results_r3_streaming.json
 run python bench.py
 echo "[queue] done"

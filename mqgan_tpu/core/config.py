@@ -226,6 +226,11 @@ class WandbConfig:
 class LoggingConfig:
     eval_interval: int = 2
     save_interval: int = 2
+    # write checkpoints on a background thread (orbax AsyncCheckpointer):
+    # the train loop resumes as soon as the state is snapshotted to host
+    # memory instead of blocking on disk serialization. The trainer drains
+    # pending saves at exit (and orbax serializes save-after-save itself).
+    async_save: bool = False
     num_plot_examples: int = 10
     wandb: WandbConfig = field(default_factory=WandbConfig)
 

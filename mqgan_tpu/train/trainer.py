@@ -374,11 +374,13 @@ class Trainer:
         # state is replicated, so the primary host's copy is the global
         # state; non-primary hosts just hit the barrier
         if self._is_primary:
+            background = self.config.logging.async_save
             path = ckpt_utils.save_checkpoint(
                 self.config.data.output_dir, jax.device_get(self.state), epoch,
-                self.config.to_dict(),
+                self.config.to_dict(), background=background,
             )
-            print(f"Checkpoint saved to {path}")
+            print(f"Checkpoint {'queued (async)' if background else 'saved'} "
+                  f"to {path}")
         if self.multihost and jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
@@ -394,6 +396,7 @@ class Trainer:
                 self.evaluate(epoch)
             if epoch % cfg.logging.save_interval == 0:
                 self.save(epoch)
+        ckpt_utils.wait_for_saves()  # drain async saves before exit
         print("Training finished.")
 
 
@@ -437,6 +440,11 @@ def main(argv=None):
                              "random draws; changes the regularization "
                              "noise distribution vs the reference's "
                              "Bernoulli dropout)")
+    parser.add_argument("--async_checkpoint", action="store_true",
+                        help="write checkpoints on a background thread "
+                             "(orbax async): the train loop resumes after "
+                             "the host snapshot instead of blocking on "
+                             "disk serialization")
     parser.add_argument("--multihost", action="store_true",
                         help="multi-host (multi-slice) run: initialize "
                              "jax.distributed, shard train files per host, "
@@ -494,6 +502,11 @@ def main(argv=None):
         config = dataclasses.replace(
             config, training=dataclasses.replace(config.training,
                                                  rng_impl=args.rng_impl)
+        )
+    if args.async_checkpoint:
+        config = dataclasses.replace(
+            config, logging=dataclasses.replace(config.logging,
+                                                async_save=True)
         )
     trainer = Trainer(
         config, use_wandb=not args.no_wandb,

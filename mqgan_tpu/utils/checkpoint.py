@@ -28,6 +28,25 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    """Process-wide AsyncCheckpointer (reused so successive background saves
+    serialize against each other inside orbax instead of racing)."""
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_saves() -> None:
+    """Block until every background save issued via
+    save_checkpoint(background=True) has committed to disk."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def _abstract_leaf(x):
     """ShapeDtypeStruct template leaf with a concrete sharding.
 
@@ -41,13 +60,21 @@ def _abstract_leaf(x):
     return sds
 
 
-def save_checkpoint(output_dir: str, state: Any, epoch: int, config_dict=None) -> str:
-    """Save the full TrainState under output_dir/checkpoint_epoch_{epoch:03d}."""
+def save_checkpoint(output_dir: str, state: Any, epoch: int, config_dict=None,
+                    background: bool = False) -> str:
+    """Save the full TrainState under output_dir/checkpoint_epoch_{epoch:03d}.
+
+    background=True returns as soon as the (host-resident) state is handed
+    to orbax's async commit thread; call wait_for_saves() before relying on
+    the files (the trainer does so at exit). The reference's torch.save is
+    synchronous (train.py:625-636) — this is strictly additional capability.
+    """
     os.makedirs(output_dir, exist_ok=True)
     path = os.path.abspath(os.path.join(output_dir, f"checkpoint_epoch_{epoch:03d}"))
-    ckptr = _checkpointer()
+    ckptr = _async_checkpointer() if background else _checkpointer()
     ckptr.save(path, state, force=True)
-    ckptr.wait_until_finished()
+    if not background:
+        ckptr.wait_until_finished()
     if config_dict is not None:
         with open(os.path.join(output_dir, "config.json"), "w") as f:
             json.dump({"epoch": epoch, "config": config_dict}, f, indent=2, default=str)

@@ -106,6 +106,9 @@ def trainer_config(data_dir, out_dir):
             seed=0,
         ),
         logging=LoggingConfig(eval_interval=2, save_interval=2,
+                              # e2e covers the background-save path end to
+                              # end (train -> drain -> resume)
+                              async_save=True,
                               num_plot_examples=1),
     )
 
@@ -251,3 +254,28 @@ def test_metrics_logger_mirrors_images_to_wandb(tmp_path):
     assert isinstance(img, FakeWandb.Image) and img.path == str(png)
     assert step == 7
     lg.close()
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    """background=True saves commit after wait_for_saves() and restore to the
+    exact same tree; latest_checkpoint never sees half-written directories
+    (orbax commits via atomic rename)."""
+    from mqgan_tpu.utils import checkpoint as ckpt_utils
+
+    state = {
+        "params": {"w": jnp.arange(12.0).reshape(3, 4),
+                   "b": jnp.ones((4,), jnp.float32)},
+        "step": jnp.asarray(7, jnp.int32),
+    }
+    out = str(tmp_path / "ckpts")
+    p1 = ckpt_utils.save_checkpoint(out, state, epoch=1, background=True)
+    p2 = ckpt_utils.save_checkpoint(out, state, epoch=2,
+                                    config_dict={"k": 1}, background=True)
+    ckpt_utils.wait_for_saves()
+    assert ckpt_utils.latest_checkpoint(out) == (p2, 2)
+    restored = ckpt_utils.restore_checkpoint(p1, jax.eval_shape(lambda: state))
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # config sidecar written by the epoch-2 save
+    with open(os.path.join(out, "config.json")) as f:
+        assert json.load(f)["epoch"] == 2
