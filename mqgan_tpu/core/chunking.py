@@ -52,6 +52,20 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+# Flagship (hifispeech/hifimusic) generator architecture: the single
+# fallback used when an exported manifest predates the halo fields.
+# Keep these HERE (next to the halo math) — runtime/streaming/reencode all
+# import them rather than re-hardcoding the tuple.
+FLAGSHIP_KERNEL_SIZES: Tuple[int, ...] = (3, 3, 5, 7)
+FLAGSHIP_REFINER_DEPTH: int = 3
+
+
+def halo_align(refiner_depth: int) -> int:
+    """Window starts must be multiples of this so the UNet pooling grid
+    pairs the same frame neighbors as a full-length pass."""
+    return 2 ** refiner_depth
+
+
 def refiner_halo(depth: int) -> int:
     """Symmetric per-side receptive footprint of UNetRefiner in frames:
     each ConvBlock is two 3x3 convs (+-2 at its own resolution); the level

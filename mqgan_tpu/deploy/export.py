@@ -89,12 +89,19 @@ def export_preencoder(
         "poly_mixers": bool(gen.poly_mixers),
         "files": {},
     }
-    from mqgan_tpu.core.chunking import generator_halos
+    from mqgan_tpu.core.chunking import (
+        decoder_halos, generator_halos, halo_align)
 
-    # (left, right) seam-discard halo for overlap-chunking clips longer
-    # than the largest bucket (core/chunking.py)
+    # (left, right) seam-discard halos for overlap-chunking clips longer
+    # than the largest bucket (core/chunking.py): "halos" covers the full
+    # encode+decode pipeline, "decoder_halos" the token->mel decode side
+    # alone (StreamingDecoder); window starts must be multiples of
+    # "halo_align" (the refiner pooling grid)
     manifest["halos"] = list(
         generator_halos(tuple(gen.kernel_sizes), gen.refiner_depth))
+    manifest["decoder_halos"] = list(
+        decoder_halos(tuple(gen.kernel_sizes), gen.refiner_depth))
+    manifest["halo_align"] = halo_align(gen.refiner_depth)
 
     for t in sorted(int(t) for t in buckets):
         enc = jexport.export(jax.jit(encode_fn), platforms=platforms)(

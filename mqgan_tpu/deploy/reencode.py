@@ -188,15 +188,20 @@ def reencode_spectrograms(
         try:
             if load_err is not None:
                 raise load_err
-            from mqgan_tpu.core.chunking import chunk_plan, generator_halos
+            from mqgan_tpu.core.chunking import (
+                FLAGSHIP_KERNEL_SIZES, FLAGSHIP_REFINER_DEPTH, chunk_plan,
+                generator_halos, halo_align)
 
             t_total = max(m.shape[0] for m in mels)
             t_max = min(t_total, max_chunk)
             if halos is not None:
                 halo_l, halo_r = halos
             else:
-                halo_l, halo_r = getattr(
-                    codec, "halos", None) or generator_halos((3, 3, 5, 7), 3)
+                halo_l, halo_r = getattr(codec, "halos", None) or (
+                    generator_halos(FLAGSHIP_KERNEL_SIZES,
+                                    FLAGSHIP_REFINER_DEPTH))
+            align = int(getattr(codec, "halo_align", None)
+                        or halo_align(FLAGSHIP_REFINER_DEPTH))
 
             out_specs = [
                 np.zeros((m.shape[0], codec.mel_channels), np.float32)
@@ -208,7 +213,7 @@ def reencode_spectrograms(
             # seams; strict=False shrinks halos when the exported buckets
             # are smaller than the model's receptive field (best effort)
             for span in chunk_plan(t_total, t_max, halo_l, halo_r,
-                                   strict=False):
+                                   align=align, strict=False):
                 w = span.stop - span.start
                 chunk = np.zeros((len(mels), w, codec.mel_channels), np.float32)
                 lens = np.zeros((len(mels),), np.int32)

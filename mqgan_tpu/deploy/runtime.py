@@ -93,14 +93,37 @@ class ExportedPreEncoder:
 
     @property
     def halos(self) -> tuple:
-        """(left, right) overlap-chunking halo (core/chunking.py); falls
-        back to the flagship config for manifests exported before the
-        field existed."""
+        """(left, right) overlap-chunking halo for the full encode+decode
+        pipeline (core/chunking.py); falls back to the flagship config for
+        manifests exported before the field existed."""
         if "halos" in self.manifest:
             return tuple(self.manifest["halos"])
-        from mqgan_tpu.core.chunking import generator_halos
+        from mqgan_tpu.core.chunking import (
+            FLAGSHIP_KERNEL_SIZES, FLAGSHIP_REFINER_DEPTH, generator_halos)
 
-        return generator_halos((3, 3, 5, 7), 3)
+        return generator_halos(FLAGSHIP_KERNEL_SIZES, FLAGSHIP_REFINER_DEPTH)
+
+    @property
+    def decoder_halos(self) -> tuple:
+        """(left, right) halo of the token->mel decode side alone
+        (StreamingDecoder); flagship fallback for old manifests."""
+        if "decoder_halos" in self.manifest:
+            return tuple(self.manifest["decoder_halos"])
+        from mqgan_tpu.core.chunking import (
+            FLAGSHIP_KERNEL_SIZES, FLAGSHIP_REFINER_DEPTH, decoder_halos)
+
+        return decoder_halos(FLAGSHIP_KERNEL_SIZES, FLAGSHIP_REFINER_DEPTH)
+
+    @property
+    def halo_align(self) -> int:
+        """Chunk windows must start on multiples of this (refiner pooling
+        grid, 2**refiner_depth); flagship fallback for old manifests."""
+        if "halo_align" in self.manifest:
+            return int(self.manifest["halo_align"])
+        from mqgan_tpu.core.chunking import (
+            FLAGSHIP_REFINER_DEPTH, halo_align)
+
+        return halo_align(FLAGSHIP_REFINER_DEPTH)
 
     # ------------------------------------------------------------------
     def _prepare(self, arr: np.ndarray, lengths, pad_value=0.0):

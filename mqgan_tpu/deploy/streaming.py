@@ -42,7 +42,11 @@ class StreamingDecoder:
         or exported bucket executable compiles once).
     halo_l, halo_r: decode-side receptive halos (core/chunking.decoder_halos).
     window: compiled window length; must fit halo_l + halo_r + align.
-    align: window starts stay multiples of this (refiner pooling grid).
+    align: window starts stay multiples of this (refiner pooling grid,
+        2**refiner_depth — core/chunking.halo_align).
+    mel_channels: output channel count; when given, warm-up feeds return
+        correctly-shaped (0, mel_channels) arrays (otherwise (0,) until the
+        first emission reveals the shape).
     """
 
     def __init__(
@@ -52,6 +56,7 @@ class StreamingDecoder:
         halo_r: int,
         window: int,
         align: int = 8,
+        mel_channels: Optional[int] = None,
     ):
         stride = window - halo_l - halo_r
         if stride < align:
@@ -62,16 +67,18 @@ class StreamingDecoder:
         self.halo_r = int(halo_r)
         self.window = int(window)
         self.align = int(align)
+        if mel_channels is not None:
+            self._tail = (int(mel_channels),)
         self.reset()
 
     # ------------------------------------------------------------------
     @classmethod
     def from_runtime(cls, runtime, window: Optional[int] = None,
-                     align: int = 8):
-        """Wrap an ExportedPreEncoder: uses its largest exported bucket and
-        the decode-side part of the manifest halos."""
-        from mqgan_tpu.core.chunking import generator_halos  # noqa: F401
-
+                     align: Optional[int] = None):
+        """Wrap an ExportedPreEncoder: uses its largest exported bucket,
+        the decode-side manifest halos, and the manifest pooling-grid
+        alignment (all with flagship fallbacks inside the runtime
+        properties for pre-halo-field manifests)."""
         window = int(window or runtime.buckets[-1])
 
         def decode_fn(idx, mask):
@@ -80,12 +87,10 @@ class StreamingDecoder:
             # one bucket-sized window so no re-bucketing happens
             return runtime.decode(idx, lengths)
 
-        cfg = runtime.manifest.get("decoder_halos")
-        if cfg is not None:
-            halo_l, halo_r = cfg
-        else:  # flagship fallback, mirrors runtime.halos
-            halo_l, halo_r = decoder_halos((3, 3, 5, 7), 3)
-        return cls(decode_fn, halo_l, halo_r, window, align)
+        halo_l, halo_r = runtime.decoder_halos
+        return cls(decode_fn, halo_l, halo_r, window,
+                   align=int(align or runtime.halo_align),
+                   mel_channels=runtime.mel_channels)
 
     # ------------------------------------------------------------------
     def reset(self) -> None:

@@ -161,8 +161,33 @@ class Trainer:
         if latest is not None:
             path, epoch = latest
             print(f"Resuming from {path} (epoch {epoch})")
-            restored = ckpt_utils.restore_checkpoint(
-                path, jax.device_get(self.state))
+            host_state = jax.device_get(self.state)
+            try:
+                restored = ckpt_utils.restore_checkpoint(path, host_state)
+            except Exception as err:
+                # The PRNG impl changes the key-data shape (rbg keys are 4
+                # uint32 words, threefry 2), so a checkpoint written under
+                # the other impl fails template matching with an opaque
+                # orbax shape error. Retry with the alternate impl's key —
+                # the restored key carries its own impl, so training
+                # continues bit-compatibly with the original run.
+                other = ("threefry2x32"
+                         if cfg.training.rng_impl == "rbg" else "rbg")
+                try:
+                    alt = host_state.replace(
+                        rng=jax.random.key(cfg.training.seed, impl=other))
+                    restored = ckpt_utils.restore_checkpoint(path, alt)
+                except Exception:
+                    raise RuntimeError(
+                        f"Could not restore {path} with either PRNG impl "
+                        f"({cfg.training.rng_impl!r} or {other!r}); if the "
+                        "checkpoint predates the rng_impl config, pass "
+                        "--rng_impl to match the impl it was trained with"
+                    ) from err
+                print(f"NOTE: checkpoint was written with rng_impl="
+                      f"{other!r} (config says "
+                      f"{cfg.training.rng_impl!r}); continuing with the "
+                      f"checkpoint's {other!r} PRNG stream")
             self.state = replicate_tree(restored, self._repl)
             self.start_epoch = epoch + 1
         elif cfg.training.pretrained:
@@ -307,7 +332,8 @@ class Trainer:
         up to the encoder's CBAM window approximation (documented there);
         the decode side is equivalence-tested at ~1e-5."""
         from mqgan_tpu.core.buckets import BucketPolicy, DEFAULT_INFERENCE_BUCKETS
-        from mqgan_tpu.core.chunking import chunk_plan, generator_halos
+        from mqgan_tpu.core.chunking import (
+            chunk_plan, generator_halos, halo_align)
 
         if gen_params is None:
             gen_params = self._local_gen_params()
@@ -319,7 +345,12 @@ class Trainer:
             tuple(gcfg.kernel_sizes), gcfg.refiner_depth)
         pre_full = np.zeros_like(mel, dtype=np.float32)
         post_full = np.zeros_like(mel, dtype=np.float32)
-        for span in chunk_plan(t, max_t, halo_l, halo_r):
+        # strict=False: very deep refiners whose halos exceed the eval
+        # bucket get proportionally shrunk context (best-effort, matching
+        # the serving path) instead of aborting the training run mid-eval
+        for span in chunk_plan(t, max_t, halo_l, halo_r,
+                               align=halo_align(gcfg.refiner_depth),
+                               strict=False):
             seg = mel[span.start: span.stop]
             batch, lengths, _ = policy.pad_batch([seg])
             pre, post, _idx, _m = self._eval_step(
@@ -426,9 +457,10 @@ def main(argv=None):
                         choices=["rbg", "threefry2x32"],
                         help="training PRNG: rbg (default; hardware RNG, "
                              "7.6x faster dropout masks on TPU) or "
-                             "threefry2x32 (bit-identical across backends; "
-                             "REQUIRED when resuming a checkpoint trained "
-                             "with it)")
+                             "threefry2x32 (bit-identical across "
+                             "backends). Auto-resume detects a checkpoint "
+                             "written under the other impl and continues "
+                             "with the checkpoint's PRNG stream")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize mixer/refiner activations in "
                              "the backward pass (enables large-batch "

@@ -409,3 +409,46 @@ def test_fused_reencode_artifact(export_dir, rng):
     out_s = rt.decode(idx_s, lengths)
     np.testing.assert_array_equal(idx_f, idx_s)
     np.testing.assert_allclose(out_f, out_s, atol=1e-5)
+
+
+def test_streaming_from_runtime_uses_manifest_halos(tmp_path, rng):
+    """The exported manifest carries decoder_halos + halo_align and
+    StreamingDecoder.from_runtime consumes them (not a flagship fallback);
+    warm-up feeds return correctly-shaped (0, mel) arrays so callers can
+    np.concatenate every chunk; the streamed output matches the runtime's
+    offline decode exactly."""
+    from mqgan_tpu.core.chunking import decoder_halos, halo_align
+    from mqgan_tpu.deploy.export import export_preencoder
+    from mqgan_tpu.deploy.runtime import ExportedPreEncoder
+    from mqgan_tpu.deploy.streaming import StreamingDecoder
+
+    # depth-1 refiner: small halos so the 64-frame bucket fits them
+    gen = PreEncoder(
+        mel_channels=MEL, channels=(8, 12), kernel_sizes=(3,),
+        fsq_levels=(8, 5, 5, 5), dropout=0.0,
+        refiner_base_channels=4, refiner_depth=1,
+    )
+    mel = jnp.zeros((1, 32, MEL), jnp.float32)
+    params = gen.init(jax.random.key(0), mel, jnp.full((1,), 32, jnp.int32))
+    out = str(tmp_path / "exp")
+    export_preencoder(gen, params, out, buckets=(64,),
+                      config_dict={"mel_channels": MEL}, verify=False)
+
+    rt = ExportedPreEncoder(out)
+    want_halos = decoder_halos((3,), 1)
+    assert rt.decoder_halos == want_halos
+    assert rt.halo_align == halo_align(1) == 2
+
+    sd = StreamingDecoder.from_runtime(rt)
+    assert (sd.halo_l, sd.halo_r) == want_halos
+    assert sd.align == 2 and sd.window == 64
+
+    toks = rng.integers(0, 1000, size=(50,)).astype(np.int32)
+    chunks = [sd.feed(toks[i: i + 7]) for i in range(0, 50, 7)]
+    assert all(c.ndim == 2 and c.shape[1] == MEL for c in chunks), (
+        "warm-up chunks must already be (0, mel)")
+    streamed = np.concatenate(chunks + [sd.flush()], axis=0)
+    offline = np.asarray(
+        rt.decode(toks[None, :], np.array([50], np.int32)))[0]
+    assert streamed.shape == offline.shape == (50, MEL)
+    np.testing.assert_allclose(streamed, offline, atol=1e-5)

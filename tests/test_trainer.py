@@ -279,3 +279,32 @@ def test_async_checkpoint_roundtrip(tmp_path):
     # config sidecar written by the epoch-2 save
     with open(os.path.join(out, "config.json")) as f:
         assert json.load(f)["epoch"] == 2
+
+
+def test_resume_across_rng_impl(tmp_path, capsys):
+    """A checkpoint written under one PRNG impl (different key-data shape)
+    auto-resumes under a config that defaults to the other impl: the
+    trainer retries the restore template with the alternate impl and
+    continues with the checkpoint's own PRNG stream."""
+    from mqgan_tpu.train.trainer import Trainer
+
+    data_dir = make_dataset(tmp_path)
+    out_dir = str(tmp_path / "out")
+    cfg_tf = trainer_config(data_dir, out_dir)
+    cfg_tf = dataclasses.replace(
+        cfg_tf, training=dataclasses.replace(cfg_tf.training,
+                                             rng_impl="threefry2x32"))
+    t1 = Trainer(cfg_tf, use_wandb=False, dtype=jnp.float32)
+    t1.save(epoch=1)  # threefry key (key-data shape (2,) uint32)
+    t1.logger.close()
+
+    cfg_rbg = trainer_config(data_dir, out_dir)
+    assert cfg_rbg.training.rng_impl == "rbg"
+    t2 = Trainer(cfg_rbg, use_wandb=False, dtype=jnp.float32)
+    assert t2.start_epoch == 2
+    assert "rng_impl='threefry2x32'" in capsys.readouterr().out
+    # the restored key carries the checkpoint's impl
+    import jax.random as jr
+    impl = str(jr.key_impl(jax.device_get(t2.state.rng)))
+    assert "threefry" in impl
+    t2.logger.close()
