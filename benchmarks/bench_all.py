@@ -262,18 +262,55 @@ def bench_directory_scale(poly_mixers: bool = False):
         "mel_frames_per_sec": round(b * t / med, 1),
     }
     if poly_mixers:
+        # Decompose the end-to-end deviation: the poly pre-mixer's ~1e-4
+        # perturbation can flip FSQ codes on a rounding boundary, and each
+        # flip changes the decode by a whole code step — that discrete
+        # effect, not interpolation error, dominates max-abs deviation.
+        # Report (a) the encode token flip rate and (b) the decode-only
+        # deviation on IDENTICAL tokens (the `--poly_mixers decode` mode).
+        gen_dec = gen.clone(poly_mixers="decode")
+
         @jax.jit
-        def reencode_exact(mel):
-            idx = gen.apply(params, mel, pad, method=PreEncoder.encode)
+        def encode_exact(mel):
+            return gen.apply(params, mel, pad, method=PreEncoder.encode)
+
+        @jax.jit
+        def encode_poly(mel):
+            return gen_run.apply(params, mel, pad, method=PreEncoder.encode)
+
+        @jax.jit
+        def decode_exact(idx):
             return gen.apply(params, idx, pad, method=PreEncoder.decode)
+
+        @jax.jit
+        def decode_poly(idx):
+            return gen_dec.apply(params, idx, pad, method=PreEncoder.decode)
 
         x = mk()[0]
         a = np.asarray(reencode(x), np.float32)
-        e = np.asarray(reencode_exact(x), np.float32)
+        idx_e = encode_exact(x)
+        e = np.asarray(decode_exact(idx_e), np.float32)
         scale = float(np.abs(e).max())
         out["max_abs_deviation"] = round(float(np.abs(a - e).max()), 5)
         out["deviation_rel_to_max"] = round(
             float(np.abs(a - e).max()) / max(scale, 1e-9), 6)
+        idx_p = np.asarray(encode_poly(x))
+        out["token_flip_rate"] = round(
+            float((np.asarray(idx_e) != idx_p).mean()), 6)
+        d = np.asarray(decode_poly(idx_e), np.float32)
+        out["decode_only_max_abs_dev"] = round(float(np.abs(d - e).max()), 6)
+        out["decode_only_dev_rel_to_max"] = round(
+            float(np.abs(d - e).max()) / max(scale, 1e-9), 6)
+
+        @jax.jit
+        def reencode_dec(mel):
+            idx = gen.apply(params, mel, pad, method=PreEncoder.encode)
+            return gen_dec.apply(params, idx, pad, method=PreEncoder.decode)
+
+        med_d = _timeit(reencode_dec, [mk() for _ in range(ITERS)],
+                        [mk(), mk()])
+        out["decode_only_latency_ms"] = round(med_d * 1000, 2)
+        out["decode_only_mel_frames_per_sec"] = round(b * t / med_d, 1)
     return out
 
 

@@ -313,9 +313,7 @@ class TrainConfig:
                 loss_weights=LossWeights(**lw_d),
             ),
             logging=LoggingConfig(
-                **{k: v for k, v in _known("logging", log_d,
-                                           LoggingConfig).items()
-                   if k != "wandb"},
+                **_known("logging", log_d, LoggingConfig),
                 wandb=WandbConfig(**wandb_d),
             ),
         )

@@ -86,7 +86,9 @@ def export_preencoder(
         "buckets": sorted(int(t) for t in buckets),
         "platforms": list(platforms),
         "int8_refiner": bool(gen.int8_refiner),
-        "poly_mixers": bool(gen.poly_mixers),
+        # False | True (both mixers) | "decode" | "encode"
+        "poly_mixers": (gen.poly_mixers if isinstance(gen.poly_mixers, str)
+                        else bool(gen.poly_mixers)),
         "files": {},
     }
     from mqgan_tpu.core.chunking import (
@@ -184,13 +186,19 @@ def main(argv=None):
                         "costs are activation-bound, so wider int8 "
                         "coverage cannot recover the gap. Not recommended "
                         "for production.")
-    p.add_argument("--poly_mixers", action="store_true",
-                   help="serve each mel-mixer's pointwise MLP as a "
-                        "Chebyshev interpolant of its exact scalar map "
-                        "(the mixers are VPU-transcendental-bound; "
-                        "ops/mixer_poly.py). Deviation is interpolation-"
-                        "level (~1e-4 relative, measured per batch range); "
-                        "see docs/SERVING.md for the end-to-end numbers.")
+    p.add_argument("--poly_mixers", nargs="?", const="both",
+                   choices=["both", "decode", "encode"], default=None,
+                   help="serve mel-mixer pointwise MLPs as Chebyshev "
+                        "interpolants of their exact scalar maps (the "
+                        "mixers are VPU-transcendental-bound; "
+                        "ops/mixer_poly.py). 'decode' (recommended) "
+                        "approximates only the post mixer: tokens stay "
+                        "bit-identical to the exact path and the decode "
+                        "deviation is interpolation-level. 'both'/'encode' "
+                        "also approximate the pre mixer, which can flip "
+                        "FSQ codes sitting on a rounding boundary (each "
+                        "flip is a whole-code-step decode change); see "
+                        "docs/SERVING.md for measured flip rates.")
     args = p.parse_args(argv)
 
     cfg = TrainConfig.from_yaml(args.config)
@@ -204,7 +212,8 @@ def main(argv=None):
     if args.int8_refiner:
         gen = gen.clone(int8_refiner=True)
     if args.poly_mixers:
-        gen = gen.clone(poly_mixers=True)
+        gen = gen.clone(poly_mixers=(True if args.poly_mixers == "both"
+                                     else args.poly_mixers))
 
     from mqgan_tpu.utils.checkpoint import load_pretrained_generator
 

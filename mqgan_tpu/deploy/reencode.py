@@ -64,11 +64,14 @@ class CheckpointReencoder:
         self.mel_channels = cfg.model.mel_channels
         self.buckets = sorted(buckets)
         self._policy = BucketPolicy(tuple(self.buckets))
-        from mqgan_tpu.core.chunking import generator_halos
+        from mqgan_tpu.core.chunking import generator_halos, halo_align
 
         self.halos = generator_halos(
             tuple(cfg.model.generator.kernel_sizes),
             cfg.model.generator.refiner_depth)
+        # chunk windows must start on the model's own pooling grid, not
+        # the flagship fallback (depth>3 configs need a coarser alignment)
+        self.halo_align = halo_align(cfg.model.generator.refiner_depth)
 
         import functools
 
@@ -163,7 +166,18 @@ def reencode_spectrograms(
     if save_tokens and tokens_dir:
         os.makedirs(tokens_dir, exist_ok=True)
 
+    from mqgan_tpu.core.chunking import (
+        FLAGSHIP_KERNEL_SIZES, FLAGSHIP_REFINER_DEPTH, chunk_plan,
+        generator_halos, halo_align)
+
     max_chunk = max_chunk or max(codec.buckets)
+    if halos is not None:
+        halo_l, halo_r = halos
+    else:
+        halo_l, halo_r = getattr(codec, "halos", None) or generator_halos(
+            FLAGSHIP_KERNEL_SIZES, FLAGSHIP_REFINER_DEPTH)
+    align = int(getattr(codec, "halo_align", None)
+                or halo_align(FLAGSHIP_REFINER_DEPTH))
     processed = failed = 0
 
     # read-ahead: load the next batch's files while the device computes
@@ -188,21 +202,8 @@ def reencode_spectrograms(
         try:
             if load_err is not None:
                 raise load_err
-            from mqgan_tpu.core.chunking import (
-                FLAGSHIP_KERNEL_SIZES, FLAGSHIP_REFINER_DEPTH, chunk_plan,
-                generator_halos, halo_align)
-
             t_total = max(m.shape[0] for m in mels)
             t_max = min(t_total, max_chunk)
-            if halos is not None:
-                halo_l, halo_r = halos
-            else:
-                halo_l, halo_r = getattr(codec, "halos", None) or (
-                    generator_halos(FLAGSHIP_KERNEL_SIZES,
-                                    FLAGSHIP_REFINER_DEPTH))
-            align = int(getattr(codec, "halo_align", None)
-                        or halo_align(FLAGSHIP_REFINER_DEPTH))
-
             out_specs = [
                 np.zeros((m.shape[0], codec.mel_channels), np.float32)
                 for m in mels

@@ -58,8 +58,14 @@ class PreEncoder(nn.Module):
     # `channels[0]`-wide APTx expansion — the mixers are VPU-transcendental-
     # bound (benchmarks/README.md "Mixer VPU roofline"). Ignored in training
     # (non-deterministic calls fall back). Same param tree — flip it on any
-    # trained checkpoint.
-    poly_mixers: bool = False
+    # trained checkpoint. Values: False | True (both mixers) | "decode"
+    # (post mixer only) | "encode" (pre mixer only). The ~1e-4 pre-mixer
+    # perturbation can flip FSQ codes that sit on a rounding boundary
+    # (any such flip changes the decode by a whole code step), so "decode"
+    # is the conservative serving choice: tokens stay bit-identical to the
+    # exact path and only the continuous decode output carries the
+    # approximation error.
+    poly_mixers: bool | str = False
     # EXPERIMENTAL (training): moment-matched Gaussian dropout on the mixer
     # hiddens instead of Bernoulli masks — see GeneratorConfig.fast_dropout.
     fast_dropout: bool = False
@@ -111,11 +117,13 @@ class PreEncoder(nn.Module):
         # recompute re-materializes the mixer work a second time and the
         # refiner recompute costs ~a full extra forward for ~1 GB of temps).
         mixer_chunk = self.mixer_chunk_t if self.remat else None
+        poly_pre = self.poly_mixers in (True, "encode", "both")
+        poly_post = self.poly_mixers in (True, "decode", "both")
         self.proj = nn.Dense(ch[0], dtype=self.dtype, name="proj")
         self.pre = MelMixer2D(
             features=ch[0], kernel_size=5, depthwise=True, act="aptx",
             dropout=0.1, hidden_chunk_t=mixer_chunk,
-            poly_approx=self.poly_mixers, fast_dropout=self.fast_dropout,
+            poly_approx=poly_pre, fast_dropout=self.fast_dropout,
             dtype=self.dtype,
             name="pre",
         )
@@ -148,7 +156,7 @@ class PreEncoder(nn.Module):
         self.post = MelMixer2D(
             features=ch[0], kernel_size=5, depthwise=True, act="aptx",
             dropout=0.1, hidden_chunk_t=mixer_chunk,
-            poly_approx=self.poly_mixers, fast_dropout=self.fast_dropout,
+            poly_approx=poly_post, fast_dropout=self.fast_dropout,
             dtype=self.dtype,
             name="post",
         )

@@ -89,6 +89,33 @@ class MelMixer2D(nn.Module):
     fast_dropout: bool = False
     dtype: jnp.dtype | None = None
 
+    def _folded_mlp_params(self, dw_out, dtype):
+        """Declare the pointwise-MLP params (pw, conv_out) on the shared
+        param tree via tiny dummy calls (outputs DCE'd under jit) and return
+        the folded scalar-map weights (w1, b1, w2, b2) in ``dtype``. Every
+        fast path that re-implements the pointwise MLP (poly, chunked,
+        fast-dropout contraction) goes through this one helper so the
+        param tree and the weight-norm fold cannot diverge from the plain
+        XLA parity path."""
+        pw = WNConv(self.features, (1, 1),
+                    use_weight_norm=self.use_weight_norm,
+                    dtype=self.dtype, name="pw")
+        co = WNConv(1, (1, 1), use_weight_norm=False, dtype=self.dtype,
+                    name="conv_out")
+        d = pw(dw_out[:1, :1, :1])
+        _ = co(d)
+        pp = pw.variables["params"]
+        if self.use_weight_norm:
+            from mqgan_tpu.nn.conv import weight_norm_kernel
+            w1 = weight_norm_kernel(pp["v"], pp["g"], dtype).reshape(-1)
+        else:
+            w1 = pp["kernel"].astype(dtype).reshape(-1)
+        b1 = pp["bias"].astype(dtype)
+        cp = co.variables["params"]
+        w2 = cp["kernel"].astype(dtype).reshape(-1)  # (features,)
+        b2 = cp["bias"].astype(dtype)  # (1,)
+        return w1, b1, w2, b2
+
     @nn.compact
     def __call__(
         self,
@@ -145,26 +172,9 @@ class MelMixer2D(nn.Module):
             dw_out = WNConv(1, k, use_weight_norm=self.use_weight_norm,
                             dtype=self.dtype, name="dw")(img)
             dw_out = mask4(dw_out)
-            pw = WNConv(self.features, (1, 1),
-                        use_weight_norm=self.use_weight_norm,
-                        dtype=self.dtype, name="pw")
-            co = WNConv(1, (1, 1), use_weight_norm=False, dtype=self.dtype,
-                        name="conv_out")
-            # tiny dummy calls declare the identical param tree (pattern as
-            # the fused path); outputs are unused and DCE'd under jit
-            d = pw(dw_out[:1, :1, :1])
-            _ = co(d)
-            pp = pw.variables["params"]
-            if self.use_weight_norm:
-                from mqgan_tpu.nn.conv import weight_norm_kernel
-                w1 = weight_norm_kernel(pp["v"], pp["g"],
-                                        jnp.float32).reshape(-1)
-            else:
-                w1 = pp["kernel"].astype(jnp.float32).reshape(-1)
-            cp = co.variables["params"]
+            w1, b1, w2, b2 = self._folded_mlp_params(dw_out, jnp.float32)
             return poly_mixer_apply(
-                dw_out[..., 0], pad_mask, w1, pp["bias"],
-                cp["kernel"].reshape(-1), cp["bias"][0],
+                dw_out[..., 0], pad_mask, w1, b1, w2, b2[0],
                 degree=self.poly_degree)
 
         use_chunked = (
@@ -176,26 +186,8 @@ class MelMixer2D(nn.Module):
             dw_out = WNConv(1, k, use_weight_norm=self.use_weight_norm,
                             dtype=self.dtype, name="dw")(img)
             dw_out = mask4(dw_out)
-            pw = WNConv(self.features, (1, 1),
-                        use_weight_norm=self.use_weight_norm,
-                        dtype=self.dtype, name="pw")
-            co = WNConv(1, (1, 1), use_weight_norm=False, dtype=self.dtype,
-                        name="conv_out")
-            # tiny dummy calls declare the identical param tree (pattern as
-            # the fused path); outputs are unused and DCE'd under jit
-            d = pw(dw_out[:1, :1, :1])
-            _ = co(d)
             cdt = self.dtype or x.dtype
-            pp = pw.variables["params"]
-            if self.use_weight_norm:
-                from mqgan_tpu.nn.conv import weight_norm_kernel
-                w1 = weight_norm_kernel(pp["v"], pp["g"], cdt).reshape(-1)
-            else:
-                w1 = pp["kernel"].astype(cdt).reshape(-1)
-            b1 = pp["bias"].astype(cdt)
-            cp = co.variables["params"]
-            w2 = cp["kernel"].astype(cdt).reshape(-1)  # (features,)
-            b2 = cp["bias"].astype(cdt)  # (1,)
+            w1, b1, w2, b2 = self._folded_mlp_params(dw_out, cdt)
 
             b, t, c, _ = dw_out.shape
             tc = min(self.hidden_chunk_t, t)

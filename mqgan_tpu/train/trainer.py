@@ -284,7 +284,11 @@ class Trainer:
         must not consume it (the other processes would never join the
         computation), so fetch the replicated values to the host first."""
         if self.multihost and jax.process_count() > 1:
-            return jax.device_get(self.state.gen_params)
+            # re-put the host copy onto a local device once, so the many
+            # per-chunk eval-step calls reuse one transfer instead of
+            # re-uploading the numpy tree on every call
+            return jax.device_put(jax.device_get(self.state.gen_params),
+                                  jax.local_devices()[0])
         return self.state.gen_params
 
     def _log_train_images(self, epoch: int, batch):

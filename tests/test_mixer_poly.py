@@ -116,3 +116,30 @@ def test_preencoder_poly_mixers_decode_parity(rng):
     idx_p = gen_poly.apply(params, mel, pad, method="encode")
     agree = float(np.mean(np.asarray(idx) == np.asarray(idx_p)))
     assert agree > 0.98, agree
+
+
+def test_preencoder_poly_mixers_decode_mode(rng):
+    """poly_mixers='decode' approximates only the post mixer: encode is the
+    exact graph (tokens bit-identical), decode carries interpolation-level
+    error only."""
+    from mqgan_tpu.core.masking import sequence_mask
+    from mqgan_tpu.models.preencoder import PreEncoder
+
+    kw = dict(mel_channels=16, channels=(32, 48), kernel_sizes=(3, 3),
+              fsq_levels=(5, 4), refiner_base_channels=8, refiner_depth=1)
+    gen = PreEncoder(**kw)
+    gen_dec = PreEncoder(**kw, poly_mixers="decode")
+    mel = jnp.asarray(rng.standard_normal((2, 40, 16)).astype(np.float32))
+    lengths = jnp.asarray([40, 29])
+    pad = sequence_mask(40, lengths)
+    params = jax.jit(gen.init)(jax.random.key(0), mel, lengths)
+
+    idx = gen.apply(params, mel, pad, method="encode")
+    idx_d = gen_dec.apply(params, mel, pad, method="encode")
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_d))
+
+    dec = gen.apply(params, idx, pad, method="decode")
+    dec_d = gen_dec.apply(params, idx, pad, method="decode")
+    scale = float(jnp.max(jnp.abs(dec)))
+    err = float(jnp.max(jnp.abs(dec_d - dec)))
+    assert err < 2e-3 * max(scale, 1.0), (err, scale)

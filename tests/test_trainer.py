@@ -287,6 +287,7 @@ def test_resume_across_rng_impl(tmp_path, capsys):
     trainer retries the restore template with the alternate impl and
     continues with the checkpoint's own PRNG stream."""
     from mqgan_tpu.train.trainer import Trainer
+    from mqgan_tpu.utils import checkpoint as ckpt_utils
 
     data_dir = make_dataset(tmp_path)
     out_dir = str(tmp_path / "out")
@@ -296,6 +297,7 @@ def test_resume_across_rng_impl(tmp_path, capsys):
                                              rng_impl="threefry2x32"))
     t1 = Trainer(cfg_tf, use_wandb=False, dtype=jnp.float32)
     t1.save(epoch=1)  # threefry key (key-data shape (2,) uint32)
+    ckpt_utils.wait_for_saves()  # async save must commit before t2 scans
     t1.logger.close()
 
     cfg_rbg = trainer_config(data_dir, out_dir)
