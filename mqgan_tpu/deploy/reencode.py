@@ -268,8 +268,9 @@ def main(argv=None):
     p.add_argument("--save_tokens", action="store_true")
     p.add_argument("--tokens_dir", default=None)
     p.add_argument("--data_parallel", action="store_true",
-                   help="shard batches over all local devices (checkpoint "
-                        "source only)")
+                   help="shard batches over all local devices (both "
+                        "sources; the exported artifact compiles one "
+                        "copy per device)")
     p.add_argument("--compile_cache", default=None,
                    help="persistent XLA compile cache dir (cuts exported-"
                         "artifact cold starts ~36x across processes)")
@@ -282,7 +283,8 @@ def main(argv=None):
         from mqgan_tpu.deploy.runtime import ExportedPreEncoder
 
         codec = ExportedPreEncoder(args.model_dir,
-                                   compilation_cache_dir=args.compile_cache)
+                                   compilation_cache_dir=args.compile_cache,
+                                   data_parallel=args.data_parallel)
     elif args.checkpoint and args.config:
         import jax.numpy as jnp
 

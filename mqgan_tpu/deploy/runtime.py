@@ -25,10 +25,20 @@ from mqgan_tpu.deploy.export import MANIFEST_NAME
 
 
 class ExportedPreEncoder:
-    def __init__(self, model_dir: str, compilation_cache_dir: str | None = None):
+    def __init__(self, model_dir: str, compilation_cache_dir: str | None = None,
+                 data_parallel: bool = False):
         """compilation_cache_dir (or env MQGAN_COMPILATION_CACHE) enables
         jax's persistent compile cache: measured 61 s -> 1.7 s cold-start
-        for the flagship fused-reencode program across processes."""
+        for the flagship fused-reencode program across processes.
+
+        data_parallel=True fans batches out over all local devices: the
+        exported StableHLO programs are lowered for ONE device (GSPMD
+        cannot shard across the deserialized module boundary), so each
+        device gets its own compiled copy and a batch slice — dispatches
+        are async, so the slices execute concurrently and throughput
+        scales with the local device count. Batches are repeat-padded up
+        to a multiple of the device count (CheckpointReencoder
+        convention)."""
         import os as _os
 
         import jax
@@ -65,6 +75,52 @@ class ExportedPreEncoder:
             with open(cfg_path) as f:
                 self.config = json.load(f)
         self.device = jax.devices()[0]
+        self._devices = (jax.local_devices()
+                         if data_parallel and jax.local_device_count() > 1
+                         else [self.device])
+        self._jit_cache = {}
+
+    @property
+    def n_devices(self) -> int:
+        """Local devices batches are fanned out over (1 unless
+        data_parallel)."""
+        return len(self._devices)
+
+    def _call(self, exported, *args):
+        """Run one exported program, fanned out over self._devices.
+
+        Single device: plain exported.call. Multi-device: slice the
+        (repeat-padded) batch per device, commit each slice to its device
+        (jit then compiles/executes per placement), and reassemble on the
+        host. Returns numpy array(s) trimmed back to the caller's batch."""
+        import jax
+
+        if len(self._devices) == 1:
+            out = exported.call(*args)
+            return (tuple(np.asarray(o) for o in out)
+                    if isinstance(out, (tuple, list)) else np.asarray(out))
+        key = id(exported)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            fn = self._jit_cache[key] = jax.jit(exported.call)
+        n = len(self._devices)
+        b = args[0].shape[0]
+        b_pad = -(-b // n) * n
+        if b_pad != b:
+            reps = [i % b for i in range(b_pad - b)]
+            args = tuple(np.concatenate([a, a[reps]], axis=0) for a in args)
+        per = b_pad // n
+        # submit every slice before fetching any result: the dispatches
+        # are async, so the devices compute concurrently
+        pend = [
+            fn(*(jax.device_put(a[i * per:(i + 1) * per], dev) for a in args))
+            for i, dev in enumerate(self._devices)
+        ]
+        if isinstance(pend[0], (tuple, list)):
+            return tuple(
+                np.concatenate([np.asarray(p[j]) for p in pend], axis=0)[:b]
+                for j in range(len(pend[0])))
+        return np.concatenate([np.asarray(p) for p in pend], axis=0)[:b]
 
     # ---- config properties (reference scripted_preencoder.py:96-104) ----
     @property
@@ -151,24 +207,24 @@ class ExportedPreEncoder:
         spec, pad_mask, t, tb = self._prepare(
             np.asarray(spec, np.float32), lengths
         )
-        out = self._enc[tb].call(spec, pad_mask)
-        return np.asarray(out)[:, :t]
+        out = self._call(self._enc[tb], spec, pad_mask)
+        return out[:, :t]
 
     def decode(self, indices: np.ndarray, lengths=None) -> np.ndarray:
         """(B, T) int -> (B, T, mel) refined mel."""
         indices, pad_mask, t, tb = self._prepare(
             np.asarray(indices, np.int32), lengths, pad_value=0
         )
-        out = self._dec[tb].call(indices, pad_mask)
-        return np.asarray(out)[:, :t]
+        out = self._call(self._dec[tb], indices, pad_mask)
+        return out[:, :t]
 
     def reencode(self, spec: np.ndarray, lengths=None):
         """(B, T, mel) -> (tokens (B, T), refined mel (B, T, mel)). Uses the
         fused single-program artifact when present (~2x fewer dispatches)."""
         spec, pad_mask, t, tb = self._prepare(np.asarray(spec, np.float32), lengths)
         if tb in self._ree:
-            idx, out = self._ree[tb].call(spec, pad_mask)
-            return np.asarray(idx)[:, :t], np.asarray(out)[:, :t]
-        idx = np.asarray(self._enc[tb].call(spec, pad_mask))
-        out = self._dec[tb].call(idx, pad_mask)
-        return idx[:, :t], np.asarray(out)[:, :t]
+            idx, out = self._call(self._ree[tb], spec, pad_mask)
+            return idx[:, :t], out[:, :t]
+        idx = self._call(self._enc[tb], spec, pad_mask)
+        out = self._call(self._dec[tb], idx, pad_mask)
+        return idx[:, :t], out[:, :t]

@@ -74,6 +74,34 @@ def test_runtime_matches_eager(export_dir, small_gen, rng):
     np.testing.assert_allclose(out_rt, out_eager, atol=1e-4)
 
 
+def test_runtime_data_parallel_matches_single_device(export_dir, rng):
+    """data_parallel=True fans the batch out over the 8 virtual CPU
+    devices (one compiled copy per device) and must return exactly the
+    single-device results — including a batch that is NOT a multiple of
+    the device count (repeat-padded rows are trimmed) and mixed lengths."""
+    from mqgan_tpu.deploy.runtime import ExportedPreEncoder
+
+    rt1 = ExportedPreEncoder(export_dir)
+    rtn = ExportedPreEncoder(export_dir, data_parallel=True)
+    assert rtn.n_devices == jax.local_device_count() > 1
+
+    spec = rng.standard_normal((5, 30, MEL)).astype(np.float32)
+    lengths = np.array([30, 22, 7, 30, 13], np.int32)
+
+    idx1 = rt1.encode(spec, lengths)
+    idxn = rtn.encode(spec, lengths)
+    np.testing.assert_array_equal(idx1, idxn)
+
+    out1 = rt1.decode(idx1, lengths)
+    outn = rtn.decode(idx1, lengths)
+    np.testing.assert_allclose(outn, out1, atol=1e-5)
+
+    t1, r1 = rt1.reencode(spec, lengths)
+    tn, rn = rtn.reencode(spec, lengths)
+    np.testing.assert_array_equal(t1, tn)
+    np.testing.assert_allclose(rn, r1, atol=1e-5)
+
+
 def test_runtime_bucket_padding(export_dir, rng):
     """Non-bucket lengths pad to the next bucket and trim exactly."""
     from mqgan_tpu.deploy.runtime import ExportedPreEncoder
