@@ -109,7 +109,8 @@ PRACTICAL_PEAK_FLOPS = 216e12  # measured bf16 peak, benchmarks/README.md
 
 
 def _bench_train(cfg, mel_ch, tag, b=16, t=256, remat=False,
-                 fast_dropout=False, mixer_chunk_t=None):
+                 fast_dropout=False, mixer_chunk_t=None,
+                 remat_refiner=False):
     import jax
     import jax.numpy as jnp
 
@@ -119,6 +120,8 @@ def _bench_train(cfg, mel_ch, tag, b=16, t=256, remat=False,
     gen_over = {}
     if remat:
         gen_over["remat"] = True
+    if remat_refiner:
+        gen_over["remat_refiner"] = True
     if fast_dropout:
         gen_over["fast_dropout"] = True
     if mixer_chunk_t is not None:
@@ -228,6 +231,55 @@ def bench_train_hifimusic():
     return _bench_train(cfg, cfg.model.mel_channels, "4_train_step_hifimusic")
 
 
+def bench_train_hifimusic_b32():
+    """Large-batch hifimusic: B=32 with remat (the hifispeech 3b analog).
+
+    B=64 does NOT fit this model even with chunked mixer hiddens: the
+    160-mel refiner (base 96, depth 3) backward wants 18.31G of 15.75G
+    HBM (measured OOM 2026-08-18) — its feature-map temps, not the mixer
+    hiddens, are the binding allocation at this scale."""
+    import dataclasses
+
+    from mqgan_tpu.core.config import GeneratorConfig, ModelConfig, TrainConfig
+
+    path = "/root/reference/configs/model_config_hifimusic.yaml"
+    if os.path.exists(path):
+        cfg = TrainConfig.from_yaml(path)
+    else:
+        cfg = dataclasses.replace(TrainConfig.from_dict({}), model=ModelConfig(
+            mel_channels=160,
+            generator=GeneratorConfig(channels=(384, 384, 512, 512),
+                                      refiner_base_channels=96),
+        ))
+    return _bench_train(cfg, cfg.model.mel_channels,
+                        "4b_train_step_hifimusic_b32", b=32, remat=True)
+
+
+def bench_train_hifimusic_b48_remat_refiner():
+    """hifimusic B=48: fits ONLY with --remat_refiner on top of the
+    chunked mixers (measured 2026-08-18: the plain-remat B=48 GAN step
+    fails compile-side OOM; with refiner ConvBlock recompute it runs).
+    B=64 still exceeds the chip even with it (runtime
+    RESOURCE_EXHAUSTED) — the step's remaining buffers, not refiner
+    feature maps, bind there."""
+    import dataclasses
+
+    from mqgan_tpu.core.config import GeneratorConfig, ModelConfig, TrainConfig
+
+    path = "/root/reference/configs/model_config_hifimusic.yaml"
+    if os.path.exists(path):
+        cfg = TrainConfig.from_yaml(path)
+    else:
+        cfg = dataclasses.replace(TrainConfig.from_dict({}), model=ModelConfig(
+            mel_channels=160,
+            generator=GeneratorConfig(channels=(384, 384, 512, 512),
+                                      refiner_base_channels=96),
+        ))
+    return _bench_train(cfg, cfg.model.mel_channels,
+                        "4br_train_step_hifimusic_b48_remat_refiner",
+                        b=48, remat=True, remat_refiner=True)
+
+
 def bench_directory_scale(poly_mixers: bool = False):
     """Config 5: the bench.py headline (B=64 T=512 reencode throughput).
 
@@ -322,6 +374,8 @@ BENCHES = {
     "3bf": bench_train_b64_fast_dropout,
     "3bc": bench_train_b64_chunk64,
     "4": bench_train_hifimusic,
+    "4b": bench_train_hifimusic_b32,
+    "4br": bench_train_hifimusic_b48_remat_refiner,
     "5": bench_directory_scale,
     "5p": lambda: bench_directory_scale(poly_mixers=True),
 }
@@ -331,7 +385,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--configs", nargs="+",
                    default=["1", "2", "3", "3b", "4", "5"],
-                   choices=["1", "2", "3", "3b", "3bf", "3bc", "4", "5", "5p"])
+                   choices=["1", "2", "3", "3b", "3bf", "3bc", "4", "4b",
+                            "4br", "5", "5p"])
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results.json"))
     args = p.parse_args()

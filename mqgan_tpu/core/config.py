@@ -105,6 +105,12 @@ class GeneratorConfig:
     # ~one extra forward through those modules for the memory that otherwise
     # blocks large-batch training (B=64 flagship OOMs without it)
     remat: bool = False
+    # additionally recompute each refiner ConvBlock in the backward (stores
+    # only block inputs). The flagship never needs it (and it measured
+    # slower at equal batch, benchmarks/README.md round 2); bigger refiners
+    # do — hifimusic (160 mels, base 96) B=64 OOMs on refiner feature-map
+    # temps (18.31G of 15.75G HBM) even with the chunked mixers
+    remat_refiner: bool = False
     # EXPERIMENTAL: moment-matched Gaussian dropout on the mel-mixer hiddens
     # (fast-dropout, Wang & Manning 2013): instead of Bernoulli-masking the
     # (B, T, mel, channels[0]) hidden (4.29G draws per flagship mixer call,

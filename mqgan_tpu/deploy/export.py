@@ -208,7 +208,7 @@ def main(argv=None):
     )
     # remat (chunked mixer hiddens) is a training-memory trade; baking its
     # sequential lax.map into the serving programs is a pure slowdown
-    gen = gen.clone(remat=False)
+    gen = gen.clone(remat=False, remat_refiner=False)
     if args.int8_refiner:
         gen = gen.clone(int8_refiner=True)
     if args.poly_mixers:

@@ -51,7 +51,7 @@ class CheckpointReencoder:
         gen = PreEncoder.from_config(cfg.model.mel_channels, cfg.model.generator,
                                      dtype)
         # remat is a training-memory trade; never serve its chunked path
-        gen = gen.clone(remat=False)
+        gen = gen.clone(remat=False, remat_refiner=False)
         t0 = max(cfg.crop_lens)
         mel = jnp.zeros((1, t0, cfg.model.mel_channels), jnp.float32)
         lengths = jnp.full((1,), t0, jnp.int32)

@@ -48,6 +48,10 @@ class PreEncoder(nn.Module):
     # tensors that otherwise OOM one chip (measured 29.1 G of 15.75 G HBM)
     # — never materialize. Only the chunked stages recompute in backward.
     remat: bool = False
+    # also recompute refiner ConvBlocks in the backward (GeneratorConfig
+    # .remat_refiner): needed when the refiner's own feature-map temps are
+    # the binding HBM allocation (hifimusic-scale refiners at B=64)
+    remat_refiner: bool = False
     # Serving-only: run the refiner's wide ConvBlocks on the int8 MXU path
     # (measured 1.32x vs bf16 per conv incl. dynamic quantization; ~1e-2
     # output deviation). Ignored in training (non-deterministic calls fall
@@ -87,6 +91,7 @@ class PreEncoder(nn.Module):
             refiner_hidden_proj_divisor=cfg.refiner_hidden_proj_divisor,
             fsq_noise_dropout=cfg.fsq_noise_dropout,
             remat=cfg.remat,
+            remat_refiner=cfg.remat_refiner,
             fast_dropout=cfg.fast_dropout,
             mixer_chunk_t=cfg.mixer_chunk_t,
             dtype=dtype,
@@ -171,7 +176,7 @@ class PreEncoder(nn.Module):
         self.refiner = UNetRefiner(
             base_ch=self.refiner_base_channels, depth=self.refiner_depth,
             dropout=0.1, out_features=self.mel_channels, dtype=self.dtype,
-            int8=self.int8_refiner, name="refiner",
+            int8=self.int8_refiner, remat=self.remat_refiner, name="refiner",
         )
 
     # ------------------------------------------------------------------

@@ -470,6 +470,12 @@ def main(argv=None):
                              "the backward pass (enables large-batch "
                              "training that otherwise OOMs; ~15%% slower "
                              "per step at equal batch)")
+    parser.add_argument("--remat_refiner", action="store_true",
+                        help="also recompute refiner ConvBlocks in the "
+                             "backward: needed when the refiner itself is "
+                             "the binding HBM allocation (hifimusic-scale "
+                             "refiners at B=64; the flagship never needs "
+                             "it and it is slower at equal batch)")
     parser.add_argument("--fast_dropout", action="store_true",
                         help="EXPERIMENTAL: moment-matched Gaussian dropout "
                              "on the mel-mixer hiddens (features-x fewer "
@@ -526,6 +532,12 @@ def main(argv=None):
             config, model=dataclasses.replace(
                 config.model, generator=dataclasses.replace(
                     config.model.generator, remat=True))
+        )
+    if args.remat_refiner:
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(
+                config.model, generator=dataclasses.replace(
+                    config.model.generator, remat_refiner=True))
         )
 
     if args.fast_dropout:

@@ -261,6 +261,35 @@ def test_remat_generator_matches_plain(setup):
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4), g0, g1)
 
 
+def test_remat_refiner_matches_plain(setup):
+    """remat_refiner=True (refiner ConvBlock recompute — the hifimusic
+    B=64 enabler) keeps the param tree identical and the deterministic
+    forward/gradient numerics equal up to reduction reordering."""
+    import dataclasses
+
+    cfg, state, mel, lengths = setup
+    cfg_r = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, generator=dataclasses.replace(
+            cfg.model.generator, remat_refiner=True)))
+    gen_plain, _, _ = build_models(cfg)
+    gen_remat, _, _ = build_models(cfg_r)
+    p2 = jax.jit(gen_remat.init)(jax.random.key(0), mel, lengths)
+    assert (jax.tree_util.tree_structure(state.gen_params)
+            == jax.tree_util.tree_structure(p2["params"]))
+
+    def loss(gp, gen):
+        _, post, _ = gen.apply({"params": gp}, mel, lengths,
+                               deterministic=True)
+        return jnp.sum(post.astype(jnp.float32) ** 2)
+
+    l0, g0 = jax.value_and_grad(loss)(state.gen_params, gen_plain)
+    l1, g1 = jax.value_and_grad(loss)(state.gen_params, gen_remat)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4), g0, g1)
+
+
 def test_tree_stats_summaries():
     from mqgan_tpu.utils.logging import tree_stats
 
