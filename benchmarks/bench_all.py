@@ -147,6 +147,9 @@ def _bench_train(cfg, mel_ch, tag, b=16, t=256, remat=False,
         training_cfg=cfg.training, rng=k,
     )
     out = {"config": tag, "batch": b, "frames": t, "remat": remat}
+    # record every non-default generator knob so result JSONs are
+    # self-describing without parsing the tag string
+    out.update({k: v for k, v in gen_over.items() if k != "remat"})
     for phase, train_d in [("warmup", False), ("gan", True)]:
         step = make_train_step(cfg, train_d=train_d, dtype=jnp.bfloat16)
         # compile once via AOT (also yields the XLA FLOP count for MFU),
@@ -211,23 +214,25 @@ def bench_train_b64_chunk64():
                         mixer_chunk_t=64)
 
 
-def bench_train_hifimusic():
-    from mqgan_tpu.core.config import TrainConfig
+def _hifimusic_cfg():
+    """The reference hifimusic config, or its literal spec if the
+    reference tree is absent."""
+    import dataclasses
+
+    from mqgan_tpu.core.config import GeneratorConfig, ModelConfig, TrainConfig
 
     path = "/root/reference/configs/model_config_hifimusic.yaml"
     if os.path.exists(path):
-        cfg = TrainConfig.from_yaml(path)
-    else:
-        import dataclasses
+        return TrainConfig.from_yaml(path)
+    return dataclasses.replace(TrainConfig.from_dict({}), model=ModelConfig(
+        mel_channels=160,
+        generator=GeneratorConfig(channels=(384, 384, 512, 512),
+                                  refiner_base_channels=96),
+    ))
 
-        from mqgan_tpu.core.config import GeneratorConfig, ModelConfig
 
-        cfg = TrainConfig.from_dict({})
-        cfg = dataclasses.replace(cfg, model=ModelConfig(
-            mel_channels=160,
-            generator=GeneratorConfig(channels=(384, 384, 512, 512),
-                                      refiner_base_channels=96),
-        ))
+def bench_train_hifimusic():
+    cfg = _hifimusic_cfg()
     return _bench_train(cfg, cfg.model.mel_channels, "4_train_step_hifimusic")
 
 
@@ -238,19 +243,7 @@ def bench_train_hifimusic_b32():
     160-mel refiner (base 96, depth 3) backward wants 18.31G of 15.75G
     HBM (measured OOM 2026-08-18) — its feature-map temps, not the mixer
     hiddens, are the binding allocation at this scale."""
-    import dataclasses
-
-    from mqgan_tpu.core.config import GeneratorConfig, ModelConfig, TrainConfig
-
-    path = "/root/reference/configs/model_config_hifimusic.yaml"
-    if os.path.exists(path):
-        cfg = TrainConfig.from_yaml(path)
-    else:
-        cfg = dataclasses.replace(TrainConfig.from_dict({}), model=ModelConfig(
-            mel_channels=160,
-            generator=GeneratorConfig(channels=(384, 384, 512, 512),
-                                      refiner_base_channels=96),
-        ))
+    cfg = _hifimusic_cfg()
     return _bench_train(cfg, cfg.model.mel_channels,
                         "4b_train_step_hifimusic_b32", b=32, remat=True)
 
@@ -262,19 +255,7 @@ def bench_train_hifimusic_b48_remat_refiner():
     B=64 still exceeds the chip even with it (runtime
     RESOURCE_EXHAUSTED) — the step's remaining buffers, not refiner
     feature maps, bind there."""
-    import dataclasses
-
-    from mqgan_tpu.core.config import GeneratorConfig, ModelConfig, TrainConfig
-
-    path = "/root/reference/configs/model_config_hifimusic.yaml"
-    if os.path.exists(path):
-        cfg = TrainConfig.from_yaml(path)
-    else:
-        cfg = dataclasses.replace(TrainConfig.from_dict({}), model=ModelConfig(
-            mel_channels=160,
-            generator=GeneratorConfig(channels=(384, 384, 512, 512),
-                                      refiner_base_channels=96),
-        ))
+    cfg = _hifimusic_cfg()
     return _bench_train(cfg, cfg.model.mel_channels,
                         "4br_train_step_hifimusic_b48_remat_refiner",
                         b=48, remat=True, remat_refiner=True)

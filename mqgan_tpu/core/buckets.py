@@ -69,3 +69,19 @@ class BucketPolicy:
 
 def pad_to_multiple(length: int, multiple: int) -> int:
     return -(-length // multiple) * multiple
+
+
+def repeat_pad_rows(arrays, multiple: int):
+    """Repeat-pad each array's leading (batch) axis up to a multiple of
+    ``multiple`` by cycling existing rows (the data-parallel batch
+    convention: padded rows are real rows, so they compute normally and
+    are trimmed by the caller). Returns the arrays unchanged when the
+    batch already divides."""
+    b = arrays[0].shape[0]
+    if b == 0:
+        raise ValueError("cannot repeat-pad an empty batch")
+    b_pad = pad_to_multiple(b, multiple)
+    if b_pad == b:
+        return tuple(arrays)
+    reps = [i % b for i in range(b_pad - b)]
+    return tuple(np.concatenate([a, a[reps]], axis=0) for a in arrays)

@@ -104,11 +104,9 @@ class CheckpointReencoder:
             arr = np.concatenate([arr, np.full(pad_shape, pad_value, arr.dtype)], 1)
         pad_mask = np.arange(tb)[None, :] >= lengths[:, None]
         # repeat-pad the batch to a multiple of the mesh size
-        b_pad = -(-b // self._n_dev) * self._n_dev
-        if b_pad != b:
-            reps = [i % b for i in range(b_pad - b)]
-            arr = np.concatenate([arr, arr[reps]], 0)
-            pad_mask = np.concatenate([pad_mask, pad_mask[reps]], 0)
+        from mqgan_tpu.core.buckets import repeat_pad_rows
+
+        arr, pad_mask = repeat_pad_rows((arr, pad_mask), self._n_dev)
         return arr, pad_mask, t, b
 
     def _put(self, *arrays):

@@ -20,7 +20,7 @@ from typing import Sequence
 
 import numpy as np
 
-from mqgan_tpu.core.buckets import BucketPolicy
+from mqgan_tpu.core.buckets import BucketPolicy, repeat_pad_rows
 from mqgan_tpu.deploy.export import MANIFEST_NAME
 
 
@@ -99,17 +99,14 @@ class ExportedPreEncoder:
             out = exported.call(*args)
             return (tuple(np.asarray(o) for o in out)
                     if isinstance(out, (tuple, list)) else np.asarray(out))
-        key = id(exported)
-        fn = self._jit_cache.get(key)
-        if fn is None:
-            fn = self._jit_cache[key] = jax.jit(exported.call)
+        # setdefault: one server process may share this runtime across
+        # worker threads; check-then-set would let two threads pay the
+        # (multi-minute through the tunnel) compile twice
+        fn = self._jit_cache.setdefault(id(exported), jax.jit(exported.call))
         n = len(self._devices)
         b = args[0].shape[0]
-        b_pad = -(-b // n) * n
-        if b_pad != b:
-            reps = [i % b for i in range(b_pad - b)]
-            args = tuple(np.concatenate([a, a[reps]], axis=0) for a in args)
-        per = b_pad // n
+        args = repeat_pad_rows(args, n)
+        per = args[0].shape[0] // n
         # submit every slice before fetching any result: the dispatches
         # are async, so the devices compute concurrently
         pend = [
