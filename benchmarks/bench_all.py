@@ -248,6 +248,14 @@ def bench_train_hifimusic_b32():
                         "4b_train_step_hifimusic_b32", b=32, remat=True)
 
 
+def bench_train_hifimusic_b32_fast_dropout():
+    """A/B: the best-MFU config (4b) plus --fast_dropout."""
+    cfg = _hifimusic_cfg()
+    return _bench_train(cfg, cfg.model.mel_channels,
+                        "4bf_train_step_hifimusic_b32_fast_dropout",
+                        b=32, remat=True, fast_dropout=True)
+
+
 def bench_train_hifimusic_b48_remat_refiner():
     """hifimusic B=48: fits ONLY with --remat_refiner on top of the
     chunked mixers (measured 2026-08-18: the plain-remat B=48 GAN step
@@ -356,6 +364,7 @@ BENCHES = {
     "3bc": bench_train_b64_chunk64,
     "4": bench_train_hifimusic,
     "4b": bench_train_hifimusic_b32,
+    "4bf": bench_train_hifimusic_b32_fast_dropout,
     "4br": bench_train_hifimusic_b48_remat_refiner,
     "5": bench_directory_scale,
     "5p": lambda: bench_directory_scale(poly_mixers=True),
@@ -367,7 +376,7 @@ def main():
     p.add_argument("--configs", nargs="+",
                    default=["1", "2", "3", "3b", "4", "5"],
                    choices=["1", "2", "3", "3b", "3bf", "3bc", "4", "4b",
-                            "4br", "5", "5p"])
+                            "4bf", "4br", "5", "5p"])
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results.json"))
     args = p.parse_args()
