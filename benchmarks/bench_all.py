@@ -269,6 +269,85 @@ def bench_train_hifimusic_b48_remat_refiner():
                         b=48, remat=True, remat_refiner=True)
 
 
+def bench_token_lm(hoisted: bool = True):
+    """Config 6: token-LM train step (2-layer LSTM 1024, B=32 L=512,
+    bf16, AdamW + masked CE — the train_music_lstm_v2 workload).
+
+    hoisted=False swaps the shipped HoistedLSTMLayer (input projections
+    out of the scan) back to flax's nn.RNN(nn.OptimizedLSTMCell) rollout
+    on the SAME params — the A/B for the hoisting optimization."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import linen as nn
+
+    from mqgan_tpu.models.music_lstm import MusicLSTM, masked_ce_loss
+
+    b, l, vocab = 32, 512, 1003
+
+    class CellRollout(MusicLSTM):
+        # identical param tree; only the recurrence implementation differs
+        @nn.compact
+        def __call__(self, tokens, genre_ids, lengths=None,
+                     deterministic=True):
+            tok_e = nn.Embed(self.vocab_size, self.emb_dim,
+                             dtype=self.dtype, name="tok_emb")(tokens)
+            tok_e = jnp.where((tokens == self.pad_id)[..., None],
+                              jnp.zeros((), tok_e.dtype), tok_e)
+            gen_e = nn.Embed(self.num_genres, self.emb_dim,
+                             dtype=self.dtype,
+                             name="genre_emb")(genre_ids)[:, None, :]
+            x = tok_e + gen_e
+            for i in range(self.lstm_layers):
+                cell = nn.OptimizedLSTMCell(self.lstm_hid, dtype=self.dtype,
+                                            name=f"lstm_{i}")
+                x = nn.RNN(cell, name=f"rnn_{i}")(x)
+            x = nn.Dropout(rate=self.dropout,
+                           deterministic=deterministic)(x)
+            return nn.Dense(self.vocab_size, dtype=self.dtype,
+                            name="proj")(x)
+
+    cls = MusicLSTM if hoisted else CellRollout
+    model = cls(vocab_size=vocab, num_genres=10, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    toks = [jnp.asarray(rng.integers(1, 1000, (b, l)).astype(np.int32))
+            for _ in range(ITERS + 2)]
+    genres = jnp.asarray(rng.integers(0, 10, (b,)).astype(np.int32))
+    params = jax.jit(model.init)(jax.random.key(0), toks[0], genres)
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(params)
+
+    def step(params, opt_state, tokens):
+        def loss_fn(p):
+            logits = model.apply(p, tokens[:, :-1], genres)
+            loss, _ = masked_ce_loss(logits, tokens[:, 1:])
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    compiled = jax.jit(step, donate_argnums=(0, 1)).lower(
+        params, opt_state, toks[0]).compile()
+    params, opt_state, loss = compiled(params, opt_state, toks[-1])
+    float(loss)
+    t0 = time.perf_counter()
+    losses = []
+    for i in range(ITERS):
+        params, opt_state, loss = compiled(params, opt_state, toks[i])
+        losses.append(loss)
+    for x in losses:
+        float(x)
+    per = (time.perf_counter() - t0) / ITERS
+    return {
+        "config": ("6_token_lm_train" if hoisted
+                   else "6c_token_lm_train_cell_rollout"),
+        "batch": b, "seq_len": l, "hoisted_input_proj": hoisted,
+        "ms_per_step": round(per * 1000, 1),
+        "tokens_per_sec": round(b * (l - 1) / per, 1),
+    }
+
+
 def bench_directory_scale(poly_mixers: bool = False):
     """Config 5: the bench.py headline (B=64 T=512 reencode throughput).
 
@@ -367,6 +446,8 @@ BENCHES = {
     "4bf": bench_train_hifimusic_b32_fast_dropout,
     "4br": bench_train_hifimusic_b48_remat_refiner,
     "5": bench_directory_scale,
+    "6": bench_token_lm,
+    "6c": lambda: bench_token_lm(hoisted=False),
     "5p": lambda: bench_directory_scale(poly_mixers=True),
 }
 
@@ -376,7 +457,7 @@ def main():
     p.add_argument("--configs", nargs="+",
                    default=["1", "2", "3", "3b", "4", "5"],
                    choices=["1", "2", "3", "3b", "3bf", "3bc", "4", "4b",
-                            "4bf", "4br", "5", "5p"])
+                            "4bf", "4br", "5", "5p", "6", "6c"])
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results.json"))
     args = p.parse_args()

@@ -198,3 +198,47 @@ def test_torch_lstm_checkpoint_import(rng):
                           jnp.asarray(genres), jnp.asarray(lengths))
     np.testing.assert_allclose(np.asarray(j_logits), t_logits.numpy(),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_hoisted_lstm_matches_flax_cell_rollout(rng):
+    """HoistedLSTMLayer (input projections hoisted out of the scan) is
+    numerically equivalent to nn.RNN(nn.OptimizedLSTMCell) on the SAME
+    param tree — old checkpoints load unchanged."""
+    from flax import linen as nn
+
+    from mqgan_tpu.models.music_lstm import HoistedLSTMLayer
+
+    class CellRollout(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            cell = nn.OptimizedLSTMCell(12, name="lstm_0")
+            return nn.RNN(cell, name="rnn_0")(x)
+
+    class Hoisted(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return HoistedLSTMLayer(12, name="lstm_0")(x)
+
+    x = jnp.asarray(rng.standard_normal((3, 17, 8)).astype(np.float32))
+    ref = CellRollout()
+    params = jax.jit(ref.init)(jax.random.key(0), x)
+    fast = Hoisted()
+    p2 = jax.jit(fast.init)(jax.random.key(0), x)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+
+    out_ref = ref.apply(params, x)
+    out_fast = fast.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out_fast), np.asarray(out_ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # gradients agree too (the scan body is what training differentiates)
+    def loss(p, m):
+        return jnp.sum(m.apply(p, x) ** 2)
+
+    g_ref = jax.grad(loss)(params, ref)
+    g_fast = jax.grad(loss)(params, fast)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-4),
+        g_ref, g_fast)
