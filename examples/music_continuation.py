@@ -25,7 +25,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--model_dir", required=True, help="exported codec")
+    p.add_argument("--model_dir", help="exported codec artifact")
+    p.add_argument("--codec_checkpoint", default=None,
+                   help="raw codec checkpoint (alternative to --model_dir; "
+                        "needs --codec_config)")
+    p.add_argument("--codec_config", default=None,
+                   help="codec model yaml (with --codec_checkpoint)")
+    p.add_argument("--seq_parallel", action="store_true",
+                   help="checkpoint codec only: decode the sampled clip "
+                        "with its time axis sharded over all devices "
+                        "(parallel/seqpar.py) — long continuations are "
+                        "neither bucket-bound nor single-device-bound")
     p.add_argument("--lm_run", required=True,
                    help="lstm_trainer out_dir (reads best.json + checkpoint)")
     p.add_argument("--genre", type=int, default=0)
@@ -44,12 +54,24 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from mqgan_tpu.deploy.runtime import ExportedPreEncoder
     from mqgan_tpu.models.lm_sampling import generate_tokens
     from mqgan_tpu.models.music_lstm import MusicLSTM
     from mqgan_tpu.utils.checkpoint import load_pretrained_generator
 
-    codec = ExportedPreEncoder(args.model_dir)
+    if args.model_dir:
+        if args.seq_parallel:
+            p.error("--seq_parallel needs --codec_checkpoint/--codec_config")
+        from mqgan_tpu.deploy.runtime import ExportedPreEncoder
+
+        codec = ExportedPreEncoder(args.model_dir)
+    elif args.codec_checkpoint and args.codec_config:
+        from mqgan_tpu.deploy.reencode import CheckpointReencoder
+
+        codec = CheckpointReencoder(args.codec_config, args.codec_checkpoint,
+                                    seq_parallel=args.seq_parallel)
+    else:
+        p.error("provide --model_dir, or --codec_checkpoint with "
+                "--codec_config")
 
     with open(os.path.join(args.lm_run, "best.json")) as f:
         best = json.load(f)

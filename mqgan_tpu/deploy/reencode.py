@@ -33,11 +33,19 @@ class CheckpointReencoder:
     data_parallel=True shards batches over all local devices (params
     replicated); XLA GSPMD handles the rest — directory-scale re-encode
     scales linearly over a chip mesh. Batches are repeat-padded up to a
-    multiple of the mesh size."""
+    multiple of the mesh size.
+
+    seq_parallel=True shards the TIME axis of each decode over all local
+    devices instead (parallel/seqpar.py): one long token sequence is
+    decoded as halo'd per-device windows inside a single shard_map, exact
+    vs a full-length pass, with per-device memory/latency ~T/N — decode is
+    also freed from the bucket grid (any T in one sharded dispatch). The
+    two modes are mutually exclusive: data_parallel scales MANY clips,
+    seq_parallel scales ONE long clip."""
 
     def __init__(self, config_path: str, checkpoint_path: str,
                  buckets=(128, 256, 512, 1024), dtype=None,
-                 data_parallel: bool = False):
+                 data_parallel: bool = False, seq_parallel: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -62,6 +70,7 @@ class CheckpointReencoder:
         )
         params = {"params": gen_params}
         self.mel_channels = cfg.model.mel_channels
+        self.codebook_size = cfg.model.generator.codebook_size
         self.buckets = sorted(buckets)
         self._policy = BucketPolicy(tuple(self.buckets))
         from mqgan_tpu.core.chunking import generator_halos, halo_align
@@ -88,12 +97,29 @@ class CheckpointReencoder:
 
         self._n_dev = 1
         self._sharding = None
+        if data_parallel and seq_parallel:
+            raise ValueError(
+                "data_parallel and seq_parallel are mutually exclusive: "
+                "the first shards the batch axis, the second the time axis")
         if data_parallel and jax.device_count() > 1:
             from mqgan_tpu.parallel.mesh import batch_sharding, make_mesh
 
             mesh = make_mesh()
             self._n_dev = mesh.shape["data"]
             self._sharding = batch_sharding(mesh)
+
+        self._seq_mesh = None
+        if seq_parallel:
+            from mqgan_tpu.parallel.seqpar import (
+                replicate_variables,
+                seq_mesh,
+            )
+
+            self._seq_mesh = seq_mesh()
+            self._gen = gen
+            # broadcast once at load time; decode-time device_put is then
+            # a no-op
+            self._variables = replicate_variables(params, self._seq_mesh)
 
     def _prepare(self, arr, lengths, pad_value=0.0):
         b, t = arr.shape[0], arr.shape[1]
@@ -128,6 +154,15 @@ class CheckpointReencoder:
         indices = np.asarray(indices, np.int32)
         if lengths is None:
             lengths = np.full((indices.shape[0],), indices.shape[1], np.int32)
+        if self._seq_mesh is not None:
+            import jax.numpy as jnp
+
+            from mqgan_tpu.parallel.seqpar import seq_parallel_decode
+
+            out = seq_parallel_decode(
+                self._gen, self._variables, jnp.asarray(indices),
+                jnp.asarray(np.asarray(lengths, np.int32)), self._seq_mesh)
+            return np.asarray(out, np.float32)
         indices, pad_mask, t, b = self._prepare(indices, lengths, 0)
         indices, pad_mask = self._put(indices, pad_mask)
         return np.asarray(self._decode_fn(indices, pad_mask))[:b, :t]
@@ -275,9 +310,17 @@ def main(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute for the checkpoint source (exported "
                         "artifacts already bake their dtype)")
+    p.add_argument("--seq_parallel", action="store_true",
+                   help="checkpoint source only: shard each decode's TIME "
+                        "axis over all local devices (halo'd shard_map "
+                        "windows, exact; parallel/seqpar.py) instead of "
+                        "the batch axis")
     args = p.parse_args(argv)
 
     if args.model_dir:
+        if args.seq_parallel:
+            p.error("--seq_parallel needs --checkpoint/--config (GSPMD "
+                    "cannot re-shard a deserialized StableHLO call)")
         from mqgan_tpu.deploy.runtime import ExportedPreEncoder
 
         codec = ExportedPreEncoder(args.model_dir,
@@ -288,7 +331,8 @@ def main(argv=None):
 
         codec = CheckpointReencoder(args.config, args.checkpoint,
                                     dtype=jnp.bfloat16 if args.bf16 else None,
-                                    data_parallel=args.data_parallel)
+                                    data_parallel=args.data_parallel,
+                                    seq_parallel=args.seq_parallel)
     else:
         p.error("provide --model_dir, or --checkpoint with --config")
 

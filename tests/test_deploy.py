@@ -433,6 +433,58 @@ def test_reencode_data_parallel(tmp_path, small_gen, rng):
     np.testing.assert_allclose(out_s, out_d, atol=1e-5)
 
 
+def test_reencode_seq_parallel(tmp_path, small_gen, rng):
+    """seq_parallel=True CheckpointReencoder: decode's time axis sharded
+    over the 8-device CPU mesh must match the single-device bucket path,
+    and must accept sequences LONGER than the largest bucket (seqpar pads
+    to its own grid instead of the bucket grid)."""
+    import yaml
+
+    from mqgan_tpu.deploy.reencode import CheckpointReencoder
+    from mqgan_tpu.utils.checkpoint import save_generator_only
+
+    gen, params = small_gen
+    ckpt = save_generator_only(str(tmp_path), params["params"], "gen_sp")
+    cfg = {
+        "model": {
+            "mel_channels": MEL,
+            "generator": {
+                "channels": [8, 12], "kernel_sizes": [3], "dropout": 0.0,
+                "fsq_levels": [8, 5, 5, 5], "refiner_base_channels": 4,
+                "refiner_depth": 2,
+            },
+        },
+        "data": {"crop_len": [32]},
+    }
+    cfg_path = tmp_path / "cfg_sp.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        CheckpointReencoder(str(cfg_path), ckpt, buckets=(32, 64),
+                            data_parallel=True, seq_parallel=True)
+
+    single = CheckpointReencoder(str(cfg_path), ckpt, buckets=(32, 64))
+    sp = CheckpointReencoder(str(cfg_path), ckpt, buckets=(32, 64),
+                             seq_parallel=True)
+
+    spec = rng.standard_normal((2, 40, MEL)).astype(np.float32)
+    lens = np.asarray([40, 23], np.int32)
+    idx = single.encode(spec, lens)
+    out_s = single.decode(idx, lens)
+    out_p = sp.decode(idx, lens)
+    assert out_p.shape == out_s.shape
+    for r in range(2):
+        np.testing.assert_allclose(out_p[r, : lens[r]], out_s[r, : lens[r]],
+                                   atol=1e-5)
+
+    # longer than the largest bucket: the bucket path can't represent this
+    # in one dispatch; the seq-parallel path decodes it exactly in one
+    long_idx = np.asarray(rng.integers(0, 1000, (1, 100)), np.int32)
+    out_long = sp.decode(long_idx)
+    assert out_long.shape == (1, 100, MEL)
+    assert np.isfinite(out_long).all()
+
+
 def test_fused_reencode_artifact(export_dir, rng):
     """The fused reencode program matches separate encode->decode exactly."""
     from mqgan_tpu.deploy.runtime import ExportedPreEncoder
