@@ -106,6 +106,7 @@ def generator_halos(
     kernel_sizes: Tuple[int, ...],
     refiner_depth: int,
     mixer_kernel: int = 5,
+    sam_kernel: int = 7,
 ) -> Tuple[int, int]:
     """(left, right) halo in frames such that a frame with that much
     context inside its window gets the same conv receptive field as in a
@@ -114,10 +115,14 @@ def generator_halos(
     Receptive fields COMPOSE: the leftmost token the decode of kept frame i
     reads (decoder_halos() away) itself needs the encoder's full conv
     context (pre mixer +-(mixer_kernel//2), non-causal blocks +-2*(k//2)
-    each) inside the window, so the encoder span is ADDED to the decode
-    span on both sides. Exact up to the encoder CBAM window approximation
-    (module docstring)."""
-    enc = mixer_kernel // 2 + sum(2 * (k // 2) for k in kernel_sizes)
+    convs PLUS the CBAM spatial gate's +-(sam_kernel//2) time conv,
+    nn/attention.py SAM1D) inside the window, so the encoder span is
+    ADDED to the decode span on both sides. Exact up to the encoder CBAM
+    channel gate's window approximation (module docstring) — which
+    sequence-parallel serving removes entirely by psum-reducing the gate
+    statistics over the mesh (parallel/seqpar.py)."""
+    enc = mixer_kernel // 2 + sum(
+        2 * (k // 2) + sam_kernel // 2 for k in kernel_sizes)
     dec_l, dec_r = decoder_halos(kernel_sizes, refiner_depth, mixer_kernel)
     align = 2 ** refiner_depth
     return _round_up(enc + dec_l, align), _round_up(enc + dec_r, align)

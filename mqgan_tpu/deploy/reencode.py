@@ -35,13 +35,15 @@ class CheckpointReencoder:
     scales linearly over a chip mesh. Batches are repeat-padded up to a
     multiple of the mesh size.
 
-    seq_parallel=True shards the TIME axis of each decode over all local
-    devices instead (parallel/seqpar.py): one long token sequence is
-    decoded as halo'd per-device windows inside a single shard_map, exact
-    vs a full-length pass, with per-device memory/latency ~T/N — decode is
-    also freed from the bucket grid (any T in one sharded dispatch). The
-    two modes are mutually exclusive: data_parallel scales MANY clips,
-    seq_parallel scales ONE long clip."""
+    seq_parallel=True shards the TIME axis over all local devices instead
+    (parallel/seqpar.py): decode() runs one long token sequence as halo'd
+    per-device windows inside a single shard_map, exact vs a full-length
+    pass; encode()/reencode() run the WHOLE encode->FSQ->decode pipeline
+    per window (conv-exact, CBAM window approximation as in chunked
+    eval). Per-device memory/latency ~T/N and calls are freed from the
+    bucket grid (any T in one sharded dispatch). The two modes are
+    mutually exclusive: data_parallel scales MANY clips, seq_parallel
+    scales ONE long clip."""
 
     def __init__(self, config_path: str, checkpoint_path: str,
                  buckets=(128, 256, 512, 1024), dtype=None,
@@ -109,6 +111,10 @@ class CheckpointReencoder:
             self._sharding = batch_sharding(mesh)
 
         self._seq_mesh = None
+        # round sharded-call lengths up to a multiple of this (masked pad
+        # frames) so directory-scale runs over arbitrary file lengths hit
+        # a bounded set of compiled geometries instead of one per length
+        self._seq_len_grid = 256
         if seq_parallel:
             from mqgan_tpu.parallel.seqpar import (
                 replicate_variables,
@@ -120,6 +126,22 @@ class CheckpointReencoder:
             # broadcast once at load time; decode-time device_put is then
             # a no-op
             self._variables = replicate_variables(params, self._seq_mesh)
+
+    @property
+    def unbounded_length(self) -> bool:
+        """True when the codec accepts any T in one call (the seq mesh
+        windows internally) — callers can skip host-side chunking."""
+        return self._seq_mesh is not None
+
+    def _seq_pad_t(self, arr, fill=0):
+        """Right-pad the time axis up to the compile-geometry grid; the
+        extra frames sit beyond every row's length (masked)."""
+        t = arr.shape[1]
+        tp = -(-max(t, 1) // self._seq_len_grid) * self._seq_len_grid
+        if tp == t:
+            return arr, t
+        pad = np.full((arr.shape[0], tp - t) + arr.shape[2:], fill, arr.dtype)
+        return np.concatenate([arr, pad], axis=1), t
 
     def _prepare(self, arr, lengths, pad_value=0.0):
         b, t = arr.shape[0], arr.shape[1]
@@ -146,6 +168,9 @@ class CheckpointReencoder:
         spec = np.asarray(spec, np.float32)
         if lengths is None:
             lengths = np.full((spec.shape[0],), spec.shape[1], np.int32)
+        if self._seq_mesh is not None:
+            idx, _ = self._seq_reencode(spec, lengths)
+            return idx
         spec, pad_mask, t, b = self._prepare(spec, lengths)
         spec, pad_mask = self._put(spec, pad_mask)
         return np.asarray(self._encode_fn(spec, pad_mask))[:b, :t]
@@ -159,18 +184,38 @@ class CheckpointReencoder:
 
             from mqgan_tpu.parallel.seqpar import seq_parallel_decode
 
+            padded, t = self._seq_pad_t(indices)
             out = seq_parallel_decode(
-                self._gen, self._variables, jnp.asarray(indices),
+                self._gen, self._variables, jnp.asarray(padded),
                 jnp.asarray(np.asarray(lengths, np.int32)), self._seq_mesh)
-            return np.asarray(out, np.float32)
+            return np.asarray(out, np.float32)[:, :t]
         indices, pad_mask, t, b = self._prepare(indices, lengths, 0)
         indices, pad_mask = self._put(indices, pad_mask)
         return np.asarray(self._decode_fn(indices, pad_mask))[:b, :t]
 
     def reencode(self, spec, lengths=None):
         """(B, T, mel) -> (tokens, refined mel)."""
+        if self._seq_mesh is not None:
+            if lengths is None:
+                lengths = np.full((spec.shape[0],), spec.shape[1], np.int32)
+            return self._seq_reencode(np.asarray(spec, np.float32), lengths)
         idx = self.encode(spec, lengths)
         return idx, self.decode(idx, lengths)
+
+    def _seq_reencode(self, spec, lengths):
+        """Full pipeline, time axis sharded: one fused per-window
+        encode->FSQ->decode dispatch per device (parallel/seqpar.py;
+        conv-exact, CBAM window approximation as in chunked eval)."""
+        import jax.numpy as jnp
+
+        from mqgan_tpu.parallel.seqpar import seq_parallel_reencode
+
+        padded, t = self._seq_pad_t(spec, fill=0.0)
+        idx, out = seq_parallel_reencode(
+            self._gen, self._variables, jnp.asarray(padded),
+            jnp.asarray(np.asarray(lengths, np.int32)), self._seq_mesh)
+        return (np.asarray(idx, np.int32)[:, :t],
+                np.asarray(out, np.float32)[:, :t])
 
 
 def reencode_spectrograms(
@@ -203,6 +248,11 @@ def reencode_spectrograms(
         FLAGSHIP_KERNEL_SIZES, FLAGSHIP_REFINER_DEPTH, chunk_plan,
         generator_halos, halo_align)
 
+    if max_chunk is None and getattr(codec, "unbounded_length", False):
+        # a sequence-parallel codec windows the time axis internally (over
+        # the device mesh) — feed whole files, no host-side chunk plan
+        max_chunk = 1 << 30
+        halos = (0, 0)
     max_chunk = max_chunk or max(codec.buckets)
     if halos is not None:
         halo_l, halo_r = halos
@@ -311,10 +361,12 @@ def main(argv=None):
                    help="bf16 compute for the checkpoint source (exported "
                         "artifacts already bake their dtype)")
     p.add_argument("--seq_parallel", action="store_true",
-                   help="checkpoint source only: shard each decode's TIME "
+                   help="checkpoint source only: shard each call's TIME "
                         "axis over all local devices (halo'd shard_map "
-                        "windows, exact; parallel/seqpar.py) instead of "
-                        "the batch axis")
+                        "windows running the full encode+decode pipeline; "
+                        "parallel/seqpar.py) instead of the batch axis — "
+                        "whole files go through in one sharded dispatch, "
+                        "no host-side chunking")
     args = p.parse_args(argv)
 
     if args.model_dir:

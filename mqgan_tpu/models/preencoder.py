@@ -180,12 +180,14 @@ class PreEncoder(nn.Module):
         )
 
     # ------------------------------------------------------------------
-    def _encode_trunk(self, x, pad_mask, deterministic):
+    def _encode_trunk(self, x, pad_mask, deterministic,
+                      stats_mask=None, seq_axis=None):
         h = self.proj(x)
         # positional: remat static_argnums applies to positional args only
         h = self.pre(h, pad_mask, deterministic, False)
         for block in self.encoder_blocks:
-            h = block(h, pad_mask, deterministic=deterministic)
+            h = block(h, pad_mask, deterministic=deterministic,
+                      stats_mask=stats_mask, seq_axis=seq_axis)
         return self.q_in_proj(h)
 
     def _decode_trunk(self, codes, pad_mask, deterministic):
@@ -229,11 +231,20 @@ class PreEncoder(nn.Module):
         self,
         x: jax.Array,  # (B, T, mel)
         pad_mask: jax.Array | None = None,  # (B, T) True=pad
+        stats_mask: jax.Array | None = None,  # (B, T) True=exclude from CBAM stats
+        seq_axis: str | None = None,  # mesh axis to reduce CBAM stats over
     ) -> jax.Array:
-        """mel -> packed FSQ indices (B, T) int32 (reference preencoder.py:420-451)."""
+        """mel -> packed FSQ indices (B, T) int32 (reference preencoder.py:420-451).
+
+        ``stats_mask``/``seq_axis``: sequence parallelism (parallel/
+        seqpar.py) — the CBAM channel gates' global pooled statistics are
+        taken over each device's interior frames and psum/pmax-reduced
+        over the mesh axis, making a time-sharded encode EXACT vs a
+        single full-length pass (not just conv-exact)."""
         if pad_mask is None:
             pad_mask = jnp.zeros(x.shape[:2], bool)
-        z = self._encode_trunk(x, pad_mask, deterministic=True)
+        z = self._encode_trunk(x, pad_mask, deterministic=True,
+                               stats_mask=stats_mask, seq_axis=seq_axis)
         _, indices = self.quantizer(z, training=False)
         return indices
 

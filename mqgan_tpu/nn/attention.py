@@ -32,7 +32,20 @@ class CAM1D(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, pad_mask: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        pad_mask: jax.Array,
+        stats_mask: jax.Array | None = None,
+        seq_axis: str | None = None,
+    ) -> jax.Array:
+        """``stats_mask``/``seq_axis`` make the GLOBAL gate exact under
+        sequence parallelism (parallel/seqpar.py): values are still masked
+        by ``pad_mask`` (halo frames keep real activations), but the
+        pooled statistics exclude ``stats_mask`` positions (each clip
+        frame counted on exactly one device) and are psum/pmax-reduced
+        over the ``seq_axis`` mesh axis — so the gate equals a
+        single full-length pass. Both default to the plain behavior."""
         hidden = self.channels // self.reduction_ratio
         dense1 = nn.Dense(hidden, dtype=self.dtype, name="mlp_0")
         dense2 = nn.Dense(self.channels, dtype=self.dtype, name="mlp_2")
@@ -41,12 +54,18 @@ class CAM1D(nn.Module):
             return dense2(nn.relu(dense1(v)))
 
         if self.causal:
+            if stats_mask is not None or seq_axis is not None:
+                raise NotImplementedError(
+                    "causal CAM has no sequence-parallel variant (the "
+                    "encode trunk's CBAM is non-causal; causal blocks "
+                    "drop CBAM entirely)")
             mx = causal_masked_max_pool(x, pad_mask)  # (B, T, C)
             av = causal_masked_avg_pool(x, pad_mask)
             gate = nn.sigmoid(mlp(mx) + mlp(av))  # (B, T, C)
         else:
-            mx = masked_max_pool(x, pad_mask)  # (B, C)
-            av = masked_avg_pool(x, pad_mask)
+            pool_mask = pad_mask if stats_mask is None else stats_mask
+            mx = masked_max_pool(x, pool_mask, seq_axis)  # (B, C)
+            av = masked_avg_pool(x, pool_mask, seq_axis)
             gate = nn.sigmoid(mlp(mx) + mlp(av))[:, None, :]  # (B, 1, C)
 
         return apply_mask(gate * x, pad_mask)
@@ -95,14 +114,20 @@ class CBAM1D(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, pad_mask: jax.Array) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        pad_mask: jax.Array,
+        stats_mask: jax.Array | None = None,
+        seq_axis: str | None = None,
+    ) -> jax.Array:
         y = CAM1D(
             channels=self.channels,
             reduction_ratio=self.reduction_ratio,
             causal=self.causal,
             dtype=self.dtype,
             name="channel_attention",
-        )(x, pad_mask)
+        )(x, pad_mask, stats_mask, seq_axis)
         y = SAM1D(
             kernel_size=self.sam_kernel_size,
             use_bias=False,

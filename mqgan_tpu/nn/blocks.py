@@ -47,7 +47,14 @@ class ResidualBlock1D(nn.Module):
         x: jax.Array,
         pad_mask: jax.Array | None = None,
         deterministic: bool = True,
+        stats_mask: jax.Array | None = None,
+        seq_axis: str | None = None,
     ) -> jax.Array:
+        """``stats_mask``/``seq_axis`` (sequence parallelism): forwarded to
+        the CBAM channel gate so its global pooled statistics are computed
+        over each device's interior frames and reduced over the mesh axis
+        (exact vs a full-length pass; parallel/seqpar.py). Defaults keep
+        the plain single-device behavior."""
         assert self.norm in ("weight", "layer", "instance"), self.norm
         wn = self.norm == "weight"
 
@@ -87,6 +94,9 @@ class ResidualBlock1D(nn.Module):
             self.fused and deterministic and self.norm == "weight"
             and self.act == "taptx" and self.dilation == 1
             and self.in_channels % 128 == 0 and self.out_channels % 128 == 0
+            # the Pallas kernel's CBAM pools over its own slab only — fall
+            # back to the XLA path under sequence parallelism
+            and stats_mask is None and seq_axis is None
         )
         if use_fused:
             from mqgan_tpu.ops.block_kernels import fused_residual_block
@@ -131,7 +141,7 @@ class ResidualBlock1D(nn.Module):
         out = conv_b(out)
         out = make_norm("norm2")(out)
         if cbam is not None:
-            out = cbam(out, mask)
+            out = cbam(out, mask, stats_mask, seq_axis)
         out = out + residual
         out = apply_mask(out, pad_mask)
         out = act(out)

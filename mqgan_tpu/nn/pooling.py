@@ -15,19 +15,38 @@ import jax.numpy as jnp
 _NEG_INF = -1e30
 
 
-def masked_max_pool(x: jax.Array, pad_mask: jax.Array) -> jax.Array:
-    """(B, T, C), (B, T) -> (B, C): max over valid time steps."""
+def masked_max_pool(
+    x: jax.Array, pad_mask: jax.Array, axis_name: str | None = None,
+) -> jax.Array:
+    """(B, T, C), (B, T) -> (B, C): max over valid time steps.
+
+    ``axis_name``: inside shard_map with the time axis sharded over a mesh
+    axis, also pmax over it — the result is the max over the GLOBAL valid
+    frames, provided each frame is valid on exactly one device (sequence
+    parallelism, parallel/seqpar.py)."""
     filled = jnp.where(pad_mask[..., None], jnp.asarray(_NEG_INF, x.dtype), x)
-    return jnp.max(filled, axis=1)
+    local = jnp.max(filled, axis=1)
+    if axis_name is not None:
+        local = jax.lax.pmax(local, axis_name)
+    return local
 
 
-def masked_avg_pool(x: jax.Array, pad_mask: jax.Array) -> jax.Array:
+def masked_avg_pool(
+    x: jax.Array, pad_mask: jax.Array, axis_name: str | None = None,
+) -> jax.Array:
     """(B, T, C), (B, T) -> (B, C): mean over valid time steps (count
-    clamped to >= 1, reference attentions.py:129)."""
+    clamped to >= 1, reference attentions.py:129).
+
+    ``axis_name``: psum the (sum, count) pair over the mesh axis before
+    dividing — the GLOBAL mean when each frame is valid on exactly one
+    device (the count is clamped only after the reduction, matching a
+    single full-length pass bit-for-bit in the all-padded case)."""
     valid = (~pad_mask).astype(x.dtype)[..., None]
     total = jnp.sum(x * valid, axis=1)
-    count = jnp.maximum(jnp.sum(valid, axis=1), 1.0)
-    return total / count
+    count = jnp.sum(valid, axis=1)
+    if axis_name is not None:
+        total, count = jax.lax.psum((total, count), axis_name)
+    return total / jnp.maximum(count, 1.0)
 
 
 def causal_masked_max_pool(x: jax.Array, pad_mask: jax.Array) -> jax.Array:

@@ -1,5 +1,7 @@
-"""Sequence-parallel (SP) decode: shard one long clip's TIME axis over the
-device mesh.
+"""Sequence-parallel (SP) inference: shard one long clip's TIME axis over
+the device mesh — decode-only (token -> mel, exact) and the full
+encode+FSQ+decode pipeline (mel -> tokens -> mel, conv-exact with the
+documented CBAM window approximation).
 
 The reference evaluates long sequences in one single-device pass
 (/root/reference/train.py:585-599) and has no distributed inference at all.
@@ -49,7 +51,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 import numpy as np
 
-from mqgan_tpu.core.chunking import decoder_halos, halo_align
+from mqgan_tpu.core.chunking import decoder_halos, generator_halos, halo_align
 
 try:  # jax >= 0.6 exposes shard_map at top level
     from jax import shard_map as _shard_map
@@ -97,19 +99,35 @@ class SeqPlan:
         return self.n * self.window / max(self.t_pad, 1) - 1.0
 
 
-def plan_seq_decode(
-    t: int, n: int, kernel_sizes, refiner_depth: int,
-    mixer_kernel: int = 5,
-) -> SeqPlan:
-    halo_l, halo_r = decoder_halos(
-        tuple(kernel_sizes), refiner_depth, mixer_kernel)
-    align = halo_align(refiner_depth)
+def _plan(t: int, n: int, halo_l: int, halo_r: int, align: int) -> SeqPlan:
     chunk = _round_up(max(1, math.ceil(t / n)), align)
     t_pad = chunk * n
     # windows larger than the padded clip degenerate to full-length decodes
     # on every device (exact, just redundant) — short-clip / small-N case
     window = min(chunk + halo_l + halo_r, t_pad)
     return SeqPlan(n, t, chunk, t_pad, halo_l, halo_r, window)
+
+
+def plan_seq_decode(
+    t: int, n: int, kernel_sizes, refiner_depth: int,
+    mixer_kernel: int = 5,
+) -> SeqPlan:
+    halo_l, halo_r = decoder_halos(
+        tuple(kernel_sizes), refiner_depth, mixer_kernel)
+    return _plan(t, n, halo_l, halo_r, halo_align(refiner_depth))
+
+
+def plan_seq_reencode(
+    t: int, n: int, kernel_sizes, refiner_depth: int,
+    mixer_kernel: int = 5,
+) -> SeqPlan:
+    """Like plan_seq_decode but with the COMPOSED encode+decode halos
+    (core/chunking.generator_halos): the leftmost token a kept frame's
+    decode reads must itself carry the encoder's conv context inside the
+    window."""
+    halo_l, halo_r = generator_halos(
+        tuple(kernel_sizes), refiner_depth, mixer_kernel)
+    return _plan(t, n, halo_l, halo_r, halo_align(refiner_depth))
 
 
 def seq_parallel_decode(
@@ -149,26 +167,111 @@ def seq_parallel_decode(
     return out[:, :t]
 
 
+def seq_parallel_reencode(
+    gen,
+    variables: Any,
+    mel: jax.Array,  # (B, T, mel) float
+    lengths: jax.Array,  # (B,) int32 valid frames per row
+    mesh: Mesh | None = None,
+):
+    """Re-encode ``mel`` (encode -> FSQ -> decode) with the time axis
+    sharded over ``mesh``: each device runs the WHOLE pipeline on one
+    halo'd window inside a single shard_map dispatch and keeps its
+    interior (tokens, refined mel). Returns ``(indices (B, T) int32,
+    x_post (B, T, mel))``.
+
+    EXACT vs a single full-length pass — including the encoder's global
+    channel attention: conv receptive fields are covered by the composed
+    generator_halos, and the CBAM gates' global pooled statistics are
+    computed over each device's interior frames (each clip frame counted
+    exactly once) and psum/pmax-reduced over the seq axis, so they equal
+    the full-pass statistics bit-for-bit. This makes seq-parallel
+    re-encode STRONGER than the host-side chunked eval path
+    (core/chunking.py), which approximates CBAM with window-local stats;
+    parity on arbitrary input is pinned in tests/test_seqpar.py.
+    """
+    mesh = mesh if mesh is not None else seq_mesh()
+    if tuple(mesh.axis_names) != (SEQ_AXIS,):
+        raise ValueError(f"mesh must be 1-D over axis {SEQ_AXIS!r}")
+    n = mesh.shape[SEQ_AXIS]
+    b, t = mel.shape[0], mel.shape[1]
+    plan = plan_seq_reencode(t, n, gen.kernel_sizes, gen.refiner_depth)
+    chunk, t_pad, w = plan.chunk, plan.t_pad, plan.window
+    halo_l = plan.halo_l
+
+    x = jnp.zeros((b, t_pad, mel.shape[2]), mel.dtype).at[:, :t].set(mel)
+    lengths = jnp.minimum(lengths.astype(jnp.int32), t)
+
+    variables = replicate_variables(variables, mesh)
+    fn = _compiled_seq_reencode(gen, mesh, chunk, t_pad, w, halo_l)
+    idx, out = fn(variables, x, lengths)
+    return idx[:, :t], out[:, :t]
+
+
 # jit caches on function identity; keep the shard_map-wrapped callable per
 # (module, mesh, geometry) so repeated serving calls don't re-trace.
 _JIT_CACHE: dict = {}
 
 
+def _window_geometry(i, chunk: int, t_pad: int, w: int, halo_l: int):
+    """Per-device window start and kept-interior offset (shared by the
+    decode-only and full-pipeline shard bodies)."""
+    s = jnp.clip(i * chunk - halo_l, 0, t_pad - w)
+    return s, i * chunk - s
+
+
+def _compiled_seq_reencode(gen, mesh: Mesh, chunk: int, t_pad: int, w: int,
+                           halo_l: int):
+    key = ("reencode", gen, mesh, chunk, t_pad, w, halo_l)
+    fn = _JIT_CACHE.get(key)
+    if fn is not None:
+        return fn
+
+    def _pipeline(m, win, mask, stats_mask):
+        idx = m.encode(win, mask, stats_mask=stats_mask, seq_axis=SEQ_AXIS)
+        return idx, m.decode(idx, mask)
+
+    def _shard(vars_, x_, len_):
+        i = lax.axis_index(SEQ_AXIS)
+        s, off = _window_geometry(i, chunk, t_pad, w, halo_l)
+        win = lax.dynamic_slice_in_dim(x_, s, w, axis=1)
+        pos = s + jnp.arange(w, dtype=jnp.int32)
+        mask = pos[None, :] >= len_[:, None]
+        # CBAM stats count each clip frame on exactly ONE device: a
+        # device's interior [off, off+chunk) of valid frames. psum/pmax
+        # over the seq axis then reproduce the full-pass global gate —
+        # halo frames keep real values (mask), they just don't vote.
+        local = jnp.arange(w, dtype=jnp.int32)
+        interior = (local >= off) & (local < off + chunk)
+        stats_mask = mask | ~interior[None, :]
+        idx, mel = gen.apply(vars_, win, mask, stats_mask, method=_pipeline)
+        return (lax.dynamic_slice_in_dim(idx, off, chunk, axis=1),
+                lax.dynamic_slice_in_dim(mel, off, chunk, axis=1))
+
+    fn = jax.jit(_shard_map(
+        _shard,
+        mesh=mesh,
+        in_specs=(P(), P(None, None, None), P(None)),
+        out_specs=(P(None, SEQ_AXIS), P(None, SEQ_AXIS, None)),
+    ))
+    _JIT_CACHE[key] = fn
+    return fn
+
+
 def _compiled_seq_decode(gen, mesh: Mesh, chunk: int, t_pad: int, w: int,
                          halo_l: int):
-    key = (gen, mesh, chunk, t_pad, w, halo_l)
+    key = ("decode", gen, mesh, chunk, t_pad, w, halo_l)
     fn = _JIT_CACHE.get(key)
     if fn is not None:
         return fn
 
     def _shard(vars_, idx_, len_):
         i = lax.axis_index(SEQ_AXIS)
-        s = jnp.clip(i * chunk - halo_l, 0, t_pad - w)
+        s, off = _window_geometry(i, chunk, t_pad, w, halo_l)
         win = lax.dynamic_slice_in_dim(idx_, s, w, axis=1)
         pos = s + jnp.arange(w, dtype=jnp.int32)
         mask = pos[None, :] >= len_[:, None]
         mel = gen.apply(vars_, win, mask, method=type(gen).decode)
-        off = i * chunk - s
         return lax.dynamic_slice_in_dim(mel, off, chunk, axis=1)
 
     fn = jax.jit(_shard_map(

@@ -477,12 +477,32 @@ def test_reencode_seq_parallel(tmp_path, small_gen, rng):
         np.testing.assert_allclose(out_p[r, : lens[r]], out_s[r, : lens[r]],
                                    atol=1e-5)
 
+    # full pipeline (encode+FSQ+decode per window): with 40 valid frames
+    # every window that keeps a valid frame spans ALL valid frames, so the
+    # encoder's CBAM stats equal the full pass — tokens exactly match the
+    # single-device bucket path, mel to float tolerance
+    idx_p, out_pp = sp.reencode(spec, lens)
+    out_ss = single.decode(idx, lens)
+    for r in range(2):
+        np.testing.assert_array_equal(idx_p[r, : lens[r]], idx[r, : lens[r]])
+        np.testing.assert_allclose(out_pp[r, : lens[r]],
+                                   out_ss[r, : lens[r]], atol=1e-5)
+    np.testing.assert_array_equal(sp.encode(spec, lens), idx_p)
+
     # longer than the largest bucket: the bucket path can't represent this
     # in one dispatch; the seq-parallel path decodes it exactly in one
     long_idx = np.asarray(rng.integers(0, 1000, (1, 100)), np.int32)
     out_long = sp.decode(long_idx)
     assert out_long.shape == (1, 100, MEL)
     assert np.isfinite(out_long).all()
+
+    # ... and re-encodes arbitrary-length mel in one sharded dispatch,
+    # with no host-side chunk plan (unbounded_length advertises this)
+    assert sp.unbounded_length and not single.unbounded_length
+    long_spec = rng.standard_normal((1, 300, MEL)).astype(np.float32)
+    idx_long, out_long2 = sp.reencode(long_spec)
+    assert idx_long.shape == (1, 300) and out_long2.shape == (1, 300, MEL)
+    assert np.isfinite(out_long2).all()
 
 
 def test_fused_reencode_artifact(export_dir, rng):

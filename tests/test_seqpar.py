@@ -17,8 +17,10 @@ import pytest
 from mqgan_tpu.core.chunking import halo_align
 from mqgan_tpu.parallel.seqpar import (
     plan_seq_decode,
+    plan_seq_reencode,
     seq_mesh,
     seq_parallel_decode,
+    seq_parallel_reencode,
 )
 
 
@@ -120,6 +122,92 @@ def test_seq_parallel_single_device_degenerates_to_full(tiny_model):
     plan = plan_seq_decode(100, 1, (3, 5), 2)
     full = _full_padded_decode(model, params, indices, lens, plan.t_pad)
     np.testing.assert_allclose(sp, full, atol=1e-5, rtol=1e-5)
+
+
+def _full_padded_reencode(model, params, mel, lengths, t_pad):
+    """Reference pass for the full pipeline, same padded convention."""
+    b, t = mel.shape[0], mel.shape[1]
+    x_full = np.zeros((b, t_pad, mel.shape[2]), np.float32)
+    x_full[:, :t] = mel
+    mask_full = np.arange(t_pad)[None, :] >= np.asarray(lengths)[:, None]
+
+    def reenc(x, mask):
+        idx = model.apply(params, x, mask, method=type(model).encode)
+        return idx, model.apply(params, idx, mask,
+                                method=type(model).decode)
+
+    idx, out = jax.jit(reenc)(jnp.asarray(x_full), jnp.asarray(mask_full))
+    return np.asarray(idx)[:, :t], np.asarray(out)[:, :t]
+
+
+@pytest.mark.parametrize("t,lengths", [
+    (512, (512, 512)),   # full rows
+    (512, (512, 300)),   # ragged: one row's mask crosses device boundaries
+])
+def test_seq_parallel_reencode_matches_full_on_any_input(
+        tiny_model, t, lengths):
+    """Full encode+FSQ+decode pipeline sharded over time, ARBITRARY input:
+    tokens EQUAL and mel ~1e-5 vs a single full-length pass. This is the
+    strong claim (stronger than host-side chunked eval, which carries the
+    CBAM window approximation): conv context comes from the composed
+    generator_halos, and the encoder CBAM gates' global statistics are
+    psum/pmax-reduced over interior frames across the seq mesh, so
+    non-stationary inputs cannot perturb token choices."""
+    model, params = tiny_model
+    mesh = seq_mesh()  # all 8 virtual CPU devices
+    n = mesh.shape["seq"]
+    plan = plan_seq_reencode(t, n, (3, 5), 2)
+    assert plan.window < plan.t_pad, "want the genuinely-windowed regime"
+
+    rng = np.random.default_rng(11)
+    b = len(lengths)
+    # strongly non-stationary: a drifting mean + burst injected mid-clip,
+    # exactly what breaks window-local CBAM statistics
+    mel = rng.standard_normal((b, t, 8)).astype(np.float32)
+    mel += np.linspace(-2.0, 2.0, t, dtype=np.float32)[None, :, None]
+    mel[:, t // 3 : t // 3 + 40] += 4.0
+    lens = np.asarray(lengths, np.int32)
+
+    idx_sp, out_sp = seq_parallel_reencode(
+        model, params, jnp.asarray(mel), jnp.asarray(lens), mesh)
+    idx_full, out_full = _full_padded_reencode(
+        model, params, mel, lens, plan.t_pad)
+
+    for r in range(b):
+        np.testing.assert_array_equal(
+            np.asarray(idx_sp)[r, : lens[r]], idx_full[r, : lens[r]])
+        np.testing.assert_allclose(
+            np.asarray(out_sp)[r, : lens[r]], out_full[r, : lens[r]],
+            atol=1e-5, rtol=1e-5)
+
+
+def test_seq_parallel_reencode_degenerate_windows_exact_on_any_input(
+        tiny_model):
+    """Short clip: every window covers the whole padded clip, so even the
+    CBAM stats are the full-pass stats — parity must hold for arbitrary
+    (non-periodic) input, ragged lengths included."""
+    model, params = tiny_model
+    mesh = seq_mesh()
+    n = mesh.shape["seq"]
+    t = 96
+    plan = plan_seq_reencode(t, n, (3, 5), 2)
+    assert plan.window == plan.t_pad, "windows must degenerate to full"
+
+    rng = np.random.default_rng(12)
+    mel = rng.standard_normal((2, t, 8)).astype(np.float32)
+    lens = np.asarray([t, 50], np.int32)
+
+    idx_sp, out_sp = seq_parallel_reencode(
+        model, params, jnp.asarray(mel), jnp.asarray(lens), mesh)
+    idx_full, out_full = _full_padded_reencode(
+        model, params, mel, lens, plan.t_pad)
+
+    for r in range(2):
+        np.testing.assert_array_equal(
+            np.asarray(idx_sp)[r, : lens[r]], idx_full[r, : lens[r]])
+        np.testing.assert_allclose(
+            np.asarray(out_sp)[r, : lens[r]], out_full[r, : lens[r]],
+            atol=1e-5, rtol=1e-5)
 
 
 def test_seq_parallel_output_is_time_sharded(tiny_model):
