@@ -1,12 +1,17 @@
 """Device mesh + sharding rules.
 
 The reference has no distributed training at all (SURVEY §2.2); here data
-parallelism is first-class and tensor parallelism is available as a second
-mesh axis. We use jit + GSPMD sharding annotations (not shard_map): batches
-are sharded over the 'data' axis, params are replicated over 'data' and
-optionally sharded over 'model'; XLA inserts psum/all-gather collectives
-over ICI automatically — including the cross-replica reductions that keep
-the LeCam EMA state synced (losses/gan.py).
+parallelism is first-class, tensor parallelism is available as a second
+mesh axis, and sequence (context) parallelism over the crop's TIME axis as
+a third. We use jit + GSPMD sharding annotations (not shard_map): batches
+are sharded over the 'data' (and optionally 'seq') axes, params are
+replicated over 'data'/'seq' and optionally sharded over 'model'; XLA
+inserts psum/all-gather collectives over ICI automatically — including the
+cross-replica reductions that keep the LeCam EMA state synced
+(losses/gan.py), the halo exchanges of spatially-partitioned convolutions
+under 'seq', and the global reductions behind every masked pooling/loss
+mean over the sharded time axis. Numerics are proven equal to the
+single-device step across mesh shapes in tests/test_parallel.py.
 """
 
 from __future__ import annotations
@@ -19,22 +24,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
-def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
+def make_mesh(n_data: int | None = None, n_model: int = 1,
+              n_seq: int = 1, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     if n_data is None:
-        n_data = len(devices) // n_model
-    assert n_data * n_model <= len(devices), (
-        f"mesh {n_data}x{n_model} needs more than {len(devices)} devices"
+        n_data = len(devices) // (n_model * n_seq)
+    assert n_data * n_model * n_seq <= len(devices), (
+        f"mesh {n_data}x{n_model}x{n_seq} needs more than "
+        f"{len(devices)} devices"
     )
-    dev_array = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
-    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+    dev_array = np.asarray(
+        devices[: n_data * n_model * n_seq]
+    ).reshape(n_data, n_model, n_seq)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) dim sharded over data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def train_array_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Sharding for one train-batch array: batch dim over 'data'; for
+    (B, T, ...) arrays the time dim additionally over 'seq' (sequence /
+    context parallelism — per-device activation memory ~T/n_seq; crop
+    lengths must divide by n_seq, which every power-of-two bucket does).
+    (B,)-shaped arrays (lengths) ride the data axis only."""
+    if ndim >= 2 and SEQ_AXIS in mesh.shape and mesh.shape[SEQ_AXIS] > 1:
+        return NamedSharding(
+            mesh, P(DATA_AXIS, SEQ_AXIS, *([None] * (ndim - 2))))
+    return batch_sharding(mesh)
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -69,6 +69,19 @@ class Trainer:
         self.multihost = multihost
         self._is_primary = (not multihost) or jax.process_index() == 0
         self.mesh = mesh if mesh is not None else make_mesh()
+        n_seq = self.mesh.shape.get("seq", 1)
+        if multihost and n_seq > 1:
+            raise ValueError(
+                "sequence parallelism is single-process for now: shard "
+                "the time axis over intra-host devices, processes over "
+                "'data' (make_global_batch assembles per-process ROWS)")
+        if n_seq > 1:
+            bad = [t for t in config.data.crop_len if t % n_seq]
+            if bad:
+                raise ValueError(
+                    f"crop buckets {bad} do not divide by the sequence-"
+                    f"parallel factor {n_seq}; even time shards need "
+                    f"crop_len multiples of {n_seq}")
         self._batch_sharding = batch_sharding(self.mesh)
         self._repl = replicated(self.mesh)
 
@@ -215,7 +228,12 @@ class Trainer:
             from mqgan_tpu.parallel.multihost import make_global_batch
 
             return make_global_batch(self.mesh, np.asarray(arr))
-        return jax.device_put(arr, self._batch_sharding)
+        from mqgan_tpu.parallel.mesh import train_array_sharding
+
+        # rank-aware: (B, T, ...) arrays also shard T over the 'seq' axis
+        # (inert on meshes without one / with n_seq == 1)
+        return jax.device_put(
+            arr, train_array_sharding(self.mesh, np.ndim(arr)))
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.config
@@ -496,6 +514,12 @@ def main(argv=None):
                              "(default: auto-detect)")
     parser.add_argument("--num_processes", type=int, default=None)
     parser.add_argument("--process_id", type=int, default=None)
+    parser.add_argument("--seq_par", type=int, default=1, metavar="N",
+                        help="sequence (context) parallelism: shard each "
+                             "crop's TIME axis over N mesh devices "
+                             "(crop lengths must divide by N) — per-device "
+                             "activation memory ~T/N, numerics equal to "
+                             "the unsharded step (tests/test_parallel.py)")
     args = parser.parse_args(argv)
 
     import os as _os
@@ -562,6 +586,7 @@ def main(argv=None):
         profile_steps=args.profile,
         multihost=args.multihost,
         watch_interval=args.watch,
+        mesh=make_mesh(n_seq=args.seq_par) if args.seq_par > 1 else None,
     )
     trainer.train()
     trainer.logger.close()

@@ -148,19 +148,26 @@ def test_sharded_train_step_numerics_match_single_device():
     )
     step = make_train_step(cfg, train_d=True, donate=False)
 
-    def run(n_data, n_model):
-        mesh = make_mesh(n_data=n_data, n_model=n_model)
+    def run(n_data, n_model, n_seq=1):
+        from mqgan_tpu.parallel.mesh import train_array_sharding
+
+        mesh = make_mesh(n_data=n_data, n_model=n_model, n_seq=n_seq)
         state = jax.device_put(state0, state_shardings(mesh, state0))
         for i in range(n_steps):
-            mel = jax.device_put(jnp.asarray(mels[i]), batch_sharding(mesh))
-            lens = jax.device_put(jnp.asarray(lengths), batch_sharding(mesh))
+            mel = jax.device_put(jnp.asarray(mels[i]),
+                                 train_array_sharding(mesh, 3))
+            lens = jax.device_put(jnp.asarray(lengths),
+                                  train_array_sharding(mesh, 1))
             state, metrics = step(state, mel, lens)
         return jax.device_get(state), jax.device_get(metrics)
 
     ref_state, ref_metrics = run(1, 1)
-    for n_data, n_model in [(8, 1), (4, 2)]:
-        got_state, got_metrics = run(n_data, n_model)
-        tag = f"mesh {n_data}x{n_model}"
+    # 2x1x4 = DP x sequence parallelism: the crop TIME axis itself is
+    # sharded — GSPMD halo-exchanges the convs and all-reduces the masked
+    # pools/loss means; the step must still be bit-compatible
+    for n_data, n_model, n_seq in [(8, 1, 1), (4, 2, 1), (2, 1, 4)]:
+        got_state, got_metrics = run(n_data, n_model, n_seq)
+        tag = f"mesh {n_data}x{n_model}x{n_seq}"
         _allclose_tree(got_metrics, ref_metrics, rtol=1e-3, atol=1e-4,
                        what=f"{tag} metrics")
         _allclose_tree(got_state.gen_params, ref_state.gen_params,
