@@ -253,9 +253,11 @@ class PreEncoder(nn.Module):
         indices: jax.Array,  # (B, T) int
         pad_mask: jax.Array | None = None,
         return_hidden: bool = False,
+        return_recon: bool = False,
     ):
         """indices -> refined mel (B, T, mel) (reference preencoder.py:453-504;
-        inference returns only the refined x_post)."""
+        inference returns only the refined x_post). return_recon
+        additionally yields the pre-refiner x_recon (eval wants both)."""
         if pad_mask is None:
             pad_mask = jnp.zeros(indices.shape[:2], bool)
         from mqgan_tpu.quant.fsq import indices_to_codes
@@ -267,4 +269,6 @@ class PreEncoder(nn.Module):
         x_post = self._refine(x_recon, decoder_out, pad_mask, deterministic=True)
         if return_hidden:
             return x_post, decoder_out
+        if return_recon:
+            return x_post, x_recon
         return x_post

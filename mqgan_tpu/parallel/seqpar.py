@@ -173,12 +173,14 @@ def seq_parallel_reencode(
     mel: jax.Array,  # (B, T, mel) float
     lengths: jax.Array,  # (B,) int32 valid frames per row
     mesh: Mesh | None = None,
+    return_recon: bool = False,
 ):
     """Re-encode ``mel`` (encode -> FSQ -> decode) with the time axis
     sharded over ``mesh``: each device runs the WHOLE pipeline on one
     halo'd window inside a single shard_map dispatch and keeps its
     interior (tokens, refined mel). Returns ``(indices (B, T) int32,
-    x_post (B, T, mel))``.
+    x_post (B, T, mel))`` — with ``return_recon`` also the pre-refiner
+    ``x_recon`` in between (full-length exact eval wants both).
 
     EXACT vs a single full-length pass — including the encoder's global
     channel attention: conv receptive fields are covered by the composed
@@ -203,9 +205,10 @@ def seq_parallel_reencode(
     lengths = jnp.minimum(lengths.astype(jnp.int32), t)
 
     variables = replicate_variables(variables, mesh)
-    fn = _compiled_seq_reencode(gen, mesh, chunk, t_pad, w, halo_l)
-    idx, out = fn(variables, x, lengths)
-    return idx[:, :t], out[:, :t]
+    fn = _compiled_seq_reencode(gen, mesh, chunk, t_pad, w, halo_l,
+                                return_recon)
+    out = fn(variables, x, lengths)
+    return tuple(o[:, :t] for o in out)
 
 
 # jit caches on function identity; keep the shard_map-wrapped callable per
@@ -221,14 +224,17 @@ def _window_geometry(i, chunk: int, t_pad: int, w: int, halo_l: int):
 
 
 def _compiled_seq_reencode(gen, mesh: Mesh, chunk: int, t_pad: int, w: int,
-                           halo_l: int):
-    key = ("reencode", gen, mesh, chunk, t_pad, w, halo_l)
+                           halo_l: int, return_recon: bool = False):
+    key = ("reencode", gen, mesh, chunk, t_pad, w, halo_l, return_recon)
     fn = _JIT_CACHE.get(key)
     if fn is not None:
         return fn
 
     def _pipeline(m, win, mask, stats_mask):
         idx = m.encode(win, mask, stats_mask=stats_mask, seq_axis=SEQ_AXIS)
+        if return_recon:
+            post, recon = m.decode(idx, mask, return_recon=True)
+            return idx, recon, post
         return idx, m.decode(idx, mask)
 
     def _shard(vars_, x_, len_):
@@ -244,15 +250,17 @@ def _compiled_seq_reencode(gen, mesh: Mesh, chunk: int, t_pad: int, w: int,
         local = jnp.arange(w, dtype=jnp.int32)
         interior = (local >= off) & (local < off + chunk)
         stats_mask = mask | ~interior[None, :]
-        idx, mel = gen.apply(vars_, win, mask, stats_mask, method=_pipeline)
-        return (lax.dynamic_slice_in_dim(idx, off, chunk, axis=1),
-                lax.dynamic_slice_in_dim(mel, off, chunk, axis=1))
+        outs = gen.apply(vars_, win, mask, stats_mask, method=_pipeline)
+        return tuple(
+            lax.dynamic_slice_in_dim(o, off, chunk, axis=1) for o in outs)
 
+    n_out = 3 if return_recon else 2
     fn = jax.jit(_shard_map(
         _shard,
         mesh=mesh,
         in_specs=(P(), P(None, None, None), P(None)),
-        out_specs=(P(None, SEQ_AXIS), P(None, SEQ_AXIS, None)),
+        out_specs=(P(None, SEQ_AXIS),)
+        + (P(None, SEQ_AXIS, None),) * (n_out - 1),
     ))
     _JIT_CACHE[key] = fn
     return fn

@@ -89,6 +89,7 @@ class Trainer:
         self._setup_state()
         self._steps: Dict[bool, callable] = {}
         self._eval_step = None
+        self._seq_eval_mesh = None  # lazy 1-D mesh for exact full-len eval
 
         log_cfg = config.logging
         # only the primary host writes metrics/plots (shared-FS safety)
@@ -345,14 +346,21 @@ class Trainer:
                 break
 
     def _eval_clip(self, mel: np.ndarray, gen_params=None):
-        """Full-length eval of one (T, C) clip through the largest eval
-        bucket in OVERLAPPING windows with seam-discard (reference
-        _evaluate runs full-length sequences in one pass, train.py:585-599;
-        we keep static shapes instead of compiling unbounded ones). Each
-        window carries the generator's full conv receptive field as halo
-        (core/chunking.py), so kept frames match a single full-length pass
-        up to the encoder's CBAM window approximation (documented there);
-        the decode side is equivalence-tested at ~1e-5."""
+        """Full-length eval of one (T, C) clip (reference _evaluate runs
+        full-length sequences in one pass, train.py:585-599; we keep
+        static XLA shapes instead of compiling unbounded ones).
+
+        Preferred path: when >1 local device is available and the clip
+        fits, ONE sequence-parallel dispatch over all devices
+        (parallel/seqpar.py) — EXACT vs a single full-length pass,
+        including the encoder CBAM gates (psum'd global stats).
+        Fallback (single device, or clips so long that a per-device
+        window would exceed the eval bucket): the largest eval bucket in
+        OVERLAPPING windows with seam-discard. Each window carries the
+        generator's full conv receptive field as halo (core/chunking.py),
+        so kept frames match a single full-length pass up to the
+        encoder's CBAM window approximation (documented there); the
+        decode side is equivalence-tested at ~1e-5."""
         from mqgan_tpu.core.buckets import BucketPolicy, DEFAULT_INFERENCE_BUCKETS
         from mqgan_tpu.core.chunking import (
             chunk_plan, generator_halos, halo_align)
@@ -363,6 +371,13 @@ class Trainer:
         max_t = policy.buckets[-1]
         t = mel.shape[0]
         gcfg = self.config.model.generator
+
+        exact = self._eval_clip_seq_parallel(mel, gen_params, max_t)
+        if exact is not None:
+            return exact
+
+        if self._eval_step is None:
+            self._eval_step = make_eval_step(self.config, self.dtype)
         halo_l, halo_r = generator_halos(
             tuple(gcfg.kernel_sizes), gcfg.refiner_depth)
         pre_full = np.zeros_like(mel, dtype=np.float32)
@@ -387,6 +402,43 @@ class Trainer:
             "eval_recon_post_mse": float(np.mean((post_full - mel32) ** 2)),
         }
         return pre_full, post_full, metrics
+
+    def _eval_clip_seq_parallel(self, mel, gen_params, max_t):
+        """One exact full-length eval dispatch with the clip's time axis
+        sharded over all local devices; None when unavailable (single
+        device) or when the per-device window would exceed the eval
+        bucket (then the chunked fallback bounds memory instead). The
+        clip length is padded (masked) to a 256-frame grid so arbitrary
+        eval lengths hit a bounded set of compiled geometries."""
+        n_dev = len(jax.devices())
+        if n_dev <= 1:
+            return None
+        from mqgan_tpu.parallel.seqpar import (
+            plan_seq_reencode, seq_mesh, seq_parallel_reencode)
+
+        gcfg = self.config.model.generator
+        t = mel.shape[0]
+        grid = 256
+        t_pad = -(-max(t, 1) // grid) * grid
+        plan = plan_seq_reencode(t_pad, n_dev, tuple(gcfg.kernel_sizes),
+                                 gcfg.refiner_depth)
+        if plan.window > max_t:
+            return None  # per-device window would exceed the eval bucket
+        if self._seq_eval_mesh is None:
+            self._seq_eval_mesh = seq_mesh()
+        batch = np.zeros((1, t_pad, mel.shape[1]), np.float32)
+        batch[0, :t] = mel
+        _, pre, post = seq_parallel_reencode(
+            self.gen, {"params": gen_params}, jnp.asarray(batch),
+            jnp.asarray([t], jnp.int32), self._seq_eval_mesh,
+            return_recon=True)
+        pre = np.asarray(pre, np.float32)[0, :t]
+        post = np.asarray(post, np.float32)[0, :t]
+        mel32 = mel.astype(np.float32)
+        return pre, post, {
+            "eval_recon_pre_mse": float(np.mean((pre - mel32) ** 2)),
+            "eval_recon_post_mse": float(np.mean((post - mel32) ** 2)),
+        }
 
     def evaluate(self, epoch: int, num_examples: int | None = None):
         cfg = self.config

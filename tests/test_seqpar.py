@@ -124,7 +124,8 @@ def test_seq_parallel_single_device_degenerates_to_full(tiny_model):
     np.testing.assert_allclose(sp, full, atol=1e-5, rtol=1e-5)
 
 
-def _full_padded_reencode(model, params, mel, lengths, t_pad):
+def _full_padded_reencode(model, params, mel, lengths, t_pad,
+                          with_recon=False):
     """Reference pass for the full pipeline, same padded convention."""
     b, t = mel.shape[0], mel.shape[1]
     x_full = np.zeros((b, t_pad, mel.shape[2]), np.float32)
@@ -133,11 +134,15 @@ def _full_padded_reencode(model, params, mel, lengths, t_pad):
 
     def reenc(x, mask):
         idx = model.apply(params, x, mask, method=type(model).encode)
+        if with_recon:
+            post, recon = model.apply(params, idx, mask, False, True,
+                                      method=type(model).decode)
+            return idx, recon, post
         return idx, model.apply(params, idx, mask,
                                 method=type(model).decode)
 
-    idx, out = jax.jit(reenc)(jnp.asarray(x_full), jnp.asarray(mask_full))
-    return np.asarray(idx)[:, :t], np.asarray(out)[:, :t]
+    outs = jax.jit(reenc)(jnp.asarray(x_full), jnp.asarray(mask_full))
+    return tuple(np.asarray(o)[:, :t] for o in outs)
 
 
 @pytest.mark.parametrize("t,lengths", [
@@ -197,14 +202,20 @@ def test_seq_parallel_reencode_degenerate_windows_exact_on_any_input(
     mel = rng.standard_normal((2, t, 8)).astype(np.float32)
     lens = np.asarray([t, 50], np.int32)
 
-    idx_sp, out_sp = seq_parallel_reencode(
-        model, params, jnp.asarray(mel), jnp.asarray(lens), mesh)
-    idx_full, out_full = _full_padded_reencode(
-        model, params, mel, lens, plan.t_pad)
+    # return_recon: the pre-refiner x_recon rides the same dispatch
+    # (full-length exact eval consumes both)
+    idx_sp, pre_sp, out_sp = seq_parallel_reencode(
+        model, params, jnp.asarray(mel), jnp.asarray(lens), mesh,
+        return_recon=True)
+    idx_full, pre_full, out_full = _full_padded_reencode(
+        model, params, mel, lens, plan.t_pad, with_recon=True)
 
     for r in range(2):
         np.testing.assert_array_equal(
             np.asarray(idx_sp)[r, : lens[r]], idx_full[r, : lens[r]])
+        np.testing.assert_allclose(
+            np.asarray(pre_sp)[r, : lens[r]], pre_full[r, : lens[r]],
+            atol=1e-5, rtol=1e-5)
         np.testing.assert_allclose(
             np.asarray(out_sp)[r, : lens[r]], out_full[r, : lens[r]],
             atol=1e-5, rtol=1e-5)
