@@ -42,6 +42,8 @@ def main(argv=None):
     p.add_argument("--length", type=int, default=256, help="tokens to sample")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--top_p", type=float, default=0.0,
+                   help="nucleus sampling mass (0 disables)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--prompt_mel", default=None,
                    help=".npy mel to encode and continue from")
@@ -110,6 +112,7 @@ def main(argv=None):
     tokens = generate_tokens(
         model, params, jnp.asarray([args.genre]), jax.random.key(args.seed),
         max_len=args.length, temperature=args.temperature, top_k=args.top_k,
+        top_p=args.top_p,
         bos_id=lm_args["bos_id"], prompt=prompt, forbidden_tokens=forbidden,
     )
     tokens_np = np.asarray(tokens)

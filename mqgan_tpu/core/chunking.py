@@ -102,6 +102,21 @@ def decoder_halos(
     return (_round_up(dec_left + mix + r, align), _round_up(mix + r, align))
 
 
+def encoder_halo(
+    kernel_sizes: Tuple[int, ...],
+    mixer_kernel: int = 5,
+    sam_kernel: int = 7,
+) -> int:
+    """Symmetric per-side conv receptive span of the ENCODE side alone
+    (mel -> tokens): pre mixer +-(mixer_kernel//2); per non-causal block
+    two k-wide convs plus the CBAM spatial gate's sam_kernel-wide time
+    conv (nn/attention.py SAM1D). The encoder has no pooling grid, so no
+    alignment applies. Exact up to the CBAM channel gate's global stats
+    (module docstring)."""
+    return mixer_kernel // 2 + sum(
+        2 * (k // 2) + sam_kernel // 2 for k in kernel_sizes)
+
+
 def generator_halos(
     kernel_sizes: Tuple[int, ...],
     refiner_depth: int,
@@ -121,8 +136,7 @@ def generator_halos(
     channel gate's window approximation (module docstring) — which
     sequence-parallel serving removes entirely by psum-reducing the gate
     statistics over the mesh (parallel/seqpar.py)."""
-    enc = mixer_kernel // 2 + sum(
-        2 * (k // 2) + sam_kernel // 2 for k in kernel_sizes)
+    enc = encoder_halo(kernel_sizes, mixer_kernel, sam_kernel)
     dec_l, dec_r = decoder_halos(kernel_sizes, refiner_depth, mixer_kernel)
     align = 2 ** refiner_depth
     return _round_up(enc + dec_l, align), _round_up(enc + dec_r, align)

@@ -92,7 +92,7 @@ def export_preencoder(
         "files": {},
     }
     from mqgan_tpu.core.chunking import (
-        decoder_halos, generator_halos, halo_align)
+        decoder_halos, encoder_halo, generator_halos, halo_align)
 
     # (left, right) seam-discard halos for overlap-chunking clips longer
     # than the largest bucket (core/chunking.py): "halos" covers the full
@@ -103,6 +103,7 @@ def export_preencoder(
         generator_halos(tuple(gen.kernel_sizes), gen.refiner_depth))
     manifest["decoder_halos"] = list(
         decoder_halos(tuple(gen.kernel_sizes), gen.refiner_depth))
+    manifest["encoder_halo"] = encoder_halo(tuple(gen.kernel_sizes))
     manifest["halo_align"] = halo_align(gen.refiner_depth)
 
     for t in sorted(int(t) for t in buckets):

@@ -168,6 +168,17 @@ class ExportedPreEncoder:
         return decoder_halos(FLAGSHIP_KERNEL_SIZES, FLAGSHIP_REFINER_DEPTH)
 
     @property
+    def encoder_halo(self) -> int:
+        """Symmetric per-side halo of the mel->token encode side alone
+        (StreamingEncoder); flagship fallback for old manifests."""
+        if "encoder_halo" in self.manifest:
+            return int(self.manifest["encoder_halo"])
+        from mqgan_tpu.core.chunking import (
+            FLAGSHIP_KERNEL_SIZES, encoder_halo)
+
+        return encoder_halo(FLAGSHIP_KERNEL_SIZES)
+
+    @property
     def halo_align(self) -> int:
         """Chunk windows must start on multiples of this (refiner pooling
         grid, 2**refiner_depth); flagship fallback for old manifests."""

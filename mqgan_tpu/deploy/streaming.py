@@ -1,25 +1,36 @@
-"""Streaming token -> mel decode with exact parity to offline decode.
+"""Streaming codec: incremental token -> mel decode AND mel -> token
+encode, with fixed algorithmic latency.
 
 Net-new over the reference (which has no streaming path at all; its
-TorchScript deployment decodes whole clips, preencoder.py:453-504): tokens
-arrive in chunks and refined mel frames are emitted incrementally with a
-FIXED algorithmic latency, while every emitted frame is numerically
-identical to what the offline (whole-clip) decode produces.
+TorchScript deployment processes whole clips, preencoder.py:420-504):
+frames/tokens arrive in chunks and outputs are emitted incrementally,
+through a FIXED compiled window so a jitted or exported bucket executable
+compiles once.
 
-How: the whole decode side is time-local (causal trunk — CBAM dropped —
-plus the 5x5 post mel-mixer and the UNet refiner; see core/chunking.py),
-with left/right receptive halos (halo_l, halo_r) = decoder_halos(). The
-streamer keeps a ring of recent tokens; once a frame has halo_r tokens of
-future context buffered it can be emitted, decoded inside a fixed
-``window`` whose left edge carries halo_l tokens of past context. Output
-latency is therefore halo_r frames (+ the caller's chunk cadence);
-flush() emits the tail exactly, because a real clip end is a clip end in
-both the streamed and offline passes.
-
-Exactness is guaranteed under the padded-decode convention (windows are
-right-padded to the compiled bucket with a pad mask — the same convention
-offline chunked eval and the exported runtime use) and is pinned by
+Decode direction (StreamingDecoder): the whole decode side is time-local
+(causal trunk — CBAM dropped — plus the 5x5 post mel-mixer and the UNet
+refiner; see core/chunking.py), with left/right receptive halos
+(halo_l, halo_r) = decoder_halos(). Once a frame has halo_r tokens of
+future context buffered it can be emitted; every emitted frame is
+numerically identical to the offline (whole-clip) decode. Output latency
+is halo_r frames (+ the caller's chunk cadence); flush() emits the tail
+exactly, because a real clip end is a clip end in both passes. Pinned by
 tests/test_streaming.py at ~1e-5 fp32, including chunk-size invariance.
+
+Encode direction (StreamingEncoder): mel frames in, FSQ tokens out — the
+live front half of a full streaming duplex (microphone -> tokens -> LM ->
+tokens -> mel). Conv receptive fields are exact (encoder_halo() per
+side); the one approximation is the encoder CBAM channel gates' global
+pooled statistics, which pool over the compiled window rather than the
+(unknowable, future-including) whole clip — the same approximation class
+as offline chunked re-encode (core/chunking.py docstring), and exactly
+REPRODUCING it: spans are gated on full position-determined windows, so
+streamed tokens equal an offline chunk_plan pass, are token-exact vs a
+single full pass whenever window stats match clip stats (pinned with
+periodic input in tests/test_streaming.py), and NEVER depend on the feed
+cadence. The cost is latency window - halo_l (the window is the knob);
+an offline-exact streaming encode is impossible in principle — the
+offline gates depend on future frames.
 """
 
 from __future__ import annotations
@@ -28,10 +39,138 @@ from typing import Callable, List, Optional
 
 import numpy as np
 
-from mqgan_tpu.core.chunking import decoder_halos
+from mqgan_tpu.core.chunking import decoder_halos, encoder_halo
 
 
-class StreamingDecoder:
+class _WindowedStreamer:
+    """Shared incremental machinery: buffer a 1-D stream (items may carry
+    a channel tail), run a fixed-width windowed function over spans whose
+    kept region has full left/right halo context, emit monotonically."""
+
+    def __init__(
+        self,
+        fn: Callable,
+        halo_l: int,
+        halo_r: int,
+        window: int,
+        align: int,
+        in_dtype,
+        in_tail: tuple,
+        out_dtype,
+        out_tail: Optional[tuple],
+        full_windows: bool = False,
+    ):
+        stride = window - halo_l - halo_r
+        if stride < align:
+            raise ValueError(
+                f"window {window} too small for halos {halo_l}+{halo_r}")
+        self.fn = fn
+        self.halo_l = int(halo_l)
+        self.halo_r = int(halo_r)
+        self.window = int(window)
+        self.align = int(align)
+        # full_windows: only run position-determined spans — either the
+        # whole fixed window is buffered, or the stream has closed (then
+        # the span end is the final clip length, equally deterministic).
+        # Required when fn has any global-over-window behavior (the
+        # encoder CBAM gates): otherwise emitted values would depend on
+        # how much data happened to have arrived (the feed cadence), not
+        # just on the stream contents. Time-local fns (decode) skip this
+        # for lower latency. The resulting spans REPRODUCE the offline
+        # chunk_plan windows, so full-window streaming == offline
+        # chunked processing, cadence-invariantly.
+        self._full_windows = bool(full_windows)
+        self._in_dtype = in_dtype
+        self._in_tail = tuple(in_tail)
+        self._out_dtype = out_dtype
+        self._tail = tuple(out_tail) if out_tail is not None else None
+        self.reset()
+
+    # ------------------------------------------------------------------
+    def reset(self) -> None:
+        self._items: List[np.ndarray] = []
+        self._n = 0  # total input positions received
+        self._emitted = 0  # output positions already returned
+        self._drop = 0  # positions discarded from the left of the buffer
+        self._closed = False
+
+    @property
+    def latency_frames(self) -> int:
+        """Algorithmic output latency: a position is emitted once halo_r
+        positions of future context have arrived."""
+        return self.halo_r
+
+    # ------------------------------------------------------------------
+    def _buffer(self) -> np.ndarray:
+        if len(self._items) > 1:
+            self._items = [np.concatenate(self._items, axis=0)]
+        return (self._items[0] if self._items
+                else np.zeros((0,) + self._in_tail, self._in_dtype))
+
+    def _run_span(self, ws: int, we: int) -> np.ndarray:
+        """Run the fn on global span [ws, we) through the fixed window."""
+        buf = self._buffer()
+        seg = buf[ws - self._drop: we - self._drop]
+        x = np.zeros((1, self.window) + self._in_tail, self._in_dtype)
+        x[0, : len(seg)] = seg
+        mask = np.arange(self.window)[None, :] >= len(seg)
+        out = np.asarray(self.fn(x, mask))
+        return out[0, : len(seg)]
+
+    def _emit_until(self, hi: int) -> np.ndarray:
+        """Emit positions [self._emitted, hi), hi already context-safe."""
+        outs = []
+        while self._emitted < hi:
+            ws = max(0, self._emitted - self.halo_l)
+            ws -= ws % self.align
+            if self._full_windows and ws + self.window > self._n \
+                    and not self._closed:
+                break  # wait for the whole position-determined window
+            we = min(self._n, ws + self.window)
+            lo, up = self._emitted, min(hi, we - (0 if we == self._n and
+                                                  self._closed else self.halo_r))
+            if up <= lo:
+                break
+            frames = self._run_span(ws, we)
+            outs.append(frames[lo - ws: up - ws])
+            self._emitted = up
+        # drop positions no longer reachable by any future window's left edge
+        keep_from = max(0, self._emitted - self.halo_l - self.align)
+        if keep_from > self._drop and self._items:
+            buf = self._buffer()
+            self._items = [buf[keep_from - self._drop:]]
+            self._drop = keep_from
+        if not outs:
+            return np.zeros((0,) + self._out_shape_tail(), self._out_dtype)
+        return np.concatenate(outs, axis=0)
+
+    def _out_shape_tail(self):
+        return self._tail or ()
+
+    # ------------------------------------------------------------------
+    def feed(self, x: np.ndarray) -> np.ndarray:
+        """Append a chunk of the input stream and return every output
+        position that now has full future context (may be empty while the
+        stream warms up)."""
+        if self._closed:
+            raise RuntimeError("stream is closed; call reset()")
+        x = np.asarray(x, self._in_dtype).reshape((-1,) + self._in_tail)
+        if x.shape[0]:
+            self._items.append(x)
+            self._n += x.shape[0]
+        out = self._emit_until(max(self._emitted, self._n - self.halo_r))
+        if out.size and self._tail is None:
+            self._tail = out.shape[1:]
+        return out
+
+    def flush(self) -> np.ndarray:
+        """End of stream: emit the remaining halo_r-latency tail. The clip
+        end is a real clip end, so these positions also match offline."""
+        self._closed = True
+        return self._emit_until(self._n)
+
+
+class StreamingDecoder(_WindowedStreamer):
     """Incremental token -> refined-mel decoder.
 
     Parameters
@@ -58,18 +197,12 @@ class StreamingDecoder:
         align: int = 8,
         mel_channels: Optional[int] = None,
     ):
-        stride = window - halo_l - halo_r
-        if stride < align:
-            raise ValueError(
-                f"window {window} too small for halos {halo_l}+{halo_r}")
-        self.decode_fn = decode_fn
-        self.halo_l = int(halo_l)
-        self.halo_r = int(halo_r)
-        self.window = int(window)
-        self.align = int(align)
-        if mel_channels is not None:
-            self._tail = (int(mel_channels),)
-        self.reset()
+        super().__init__(
+            decode_fn, halo_l, halo_r, window, align,
+            in_dtype=np.int32, in_tail=(),
+            out_dtype=np.float32,
+            out_tail=(int(mel_channels),) if mel_channels else None,
+        )
 
     # ------------------------------------------------------------------
     @classmethod
@@ -92,83 +225,61 @@ class StreamingDecoder:
                    align=int(align or runtime.halo_align),
                    mel_channels=runtime.mel_channels)
 
-    # ------------------------------------------------------------------
-    def reset(self) -> None:
-        self._tokens: List[np.ndarray] = []
-        self._n = 0  # total tokens received
-        self._emitted = 0  # frames already returned
-        self._drop = 0  # tokens discarded from the left of the buffer
-        self._closed = False
+
+class StreamingEncoder(_WindowedStreamer):
+    """Incremental mel -> FSQ-token encoder (live tokenization; the front
+    half of a streaming duplex with StreamingDecoder).
+
+    Parameters
+    ----------
+    encode_fn: (mel (1, W, C) float32, pad_mask (1, W) bool) -> (1, W) int
+        A whole-window encode (jitted gen.encode or an exported bucket).
+    halo: symmetric per-side conv halo (core/chunking.encoder_halo).
+    window: compiled window length; must fit 2*halo + 1. Smaller windows
+        trade compute redundancy for latency (see latency_frames).
+    mel_channels: input channel count (the mel band count).
+
+    Tokens are conv-exact vs offline; the CBAM channel gates pool over
+    the window rather than the whole (future-including) clip — the same
+    approximation as offline chunked re-encode, and IDENTICAL to it:
+    spans are gated on full position-determined windows (base class
+    full_windows), so the streamed tokens equal an offline chunk_plan
+    pass and never depend on the feed cadence.
+    """
+
+    def __init__(
+        self,
+        encode_fn: Callable,
+        halo: int,
+        window: int,
+        mel_channels: int,
+        align: int = 1,
+    ):
+        super().__init__(
+            encode_fn, halo, halo, window, align,
+            in_dtype=np.float32, in_tail=(int(mel_channels),),
+            out_dtype=np.int32, out_tail=(),
+            full_windows=True,
+        )
 
     @property
     def latency_frames(self) -> int:
-        """Algorithmic output latency: a frame is emitted once halo_r
-        tokens of future context have arrived."""
-        return self.halo_r
+        """Worst-case output latency: a position waits for the rest of
+        its full window (window - halo_l frames of lookahead), because
+        the CBAM gate statistics must be position-determined, not
+        arrival-determined. Choose the window to set the latency."""
+        return self.window - self.halo_l
 
     # ------------------------------------------------------------------
-    def _buffer(self) -> np.ndarray:
-        if len(self._tokens) > 1:
-            self._tokens = [np.concatenate(self._tokens)]
-        return self._tokens[0] if self._tokens else np.zeros(0, np.int32)
+    @classmethod
+    def from_runtime(cls, runtime, window: Optional[int] = None):
+        """Wrap an ExportedPreEncoder's encode side (largest exported
+        bucket; manifest encoder halo with flagship fallback)."""
+        window = int(window or runtime.buckets[-1])
 
-    def _decode_span(self, ws: int, we: int) -> np.ndarray:
-        """Decode global token span [ws, we) through the fixed window."""
-        buf = self._buffer()
-        seg = buf[ws - self._drop: we - self._drop]
-        idx = np.zeros((1, self.window), np.int32)
-        idx[0, : len(seg)] = seg
-        mask = np.arange(self.window)[None, :] >= len(seg)
-        out = np.asarray(self.decode_fn(idx, mask))
-        return out[0, : len(seg)]
+        def encode_fn(mel, mask):
+            lengths = (~mask).sum(axis=1).astype(np.int32)
+            return runtime.encode(mel, lengths)
 
-    def _emit_until(self, hi: int) -> np.ndarray:
-        """Emit frames [self._emitted, hi), hi already context-safe."""
-        outs = []
-        while self._emitted < hi:
-            ws = max(0, self._emitted - self.halo_l)
-            ws -= ws % self.align
-            we = min(self._n, ws + self.window)
-            lo, up = self._emitted, min(hi, we - (0 if we == self._n and
-                                                  self._closed else self.halo_r))
-            if up <= lo:
-                break
-            frames = self._decode_span(ws, we)
-            outs.append(frames[lo - ws: up - ws])
-            self._emitted = up
-        # drop tokens no longer reachable by any future window's left edge
-        keep_from = max(0, self._emitted - self.halo_l - self.align)
-        if keep_from > self._drop and self._tokens:
-            buf = self._buffer()
-            self._tokens = [buf[keep_from - self._drop:]]
-            self._drop = keep_from
-        if not outs:
-            return np.zeros((0,) + self._out_shape_tail(), np.float32)
-        return np.concatenate(outs, axis=0)
-
-    _tail = None
-
-    def _out_shape_tail(self):
-        return self._tail or ()
-
-    # ------------------------------------------------------------------
-    def feed(self, indices: np.ndarray) -> np.ndarray:
-        """Append a chunk of token indices (T_chunk,) and return every mel
-        frame (N, mel) that now has full future context. N may be 0 while
-        the stream warms up."""
-        if self._closed:
-            raise RuntimeError("stream is closed; call reset()")
-        indices = np.asarray(indices, np.int32).reshape(-1)
-        if indices.size:
-            self._tokens.append(indices)
-            self._n += indices.size
-        out = self._emit_until(max(self._emitted, self._n - self.halo_r))
-        if out.size and self._tail is None:
-            self._tail = out.shape[1:]
-        return out
-
-    def flush(self) -> np.ndarray:
-        """End of stream: emit the remaining halo_r-latency tail. The clip
-        end is a real clip end, so these frames also match offline."""
-        self._closed = True
-        return self._emit_until(self._n)
+        return cls(encode_fn, runtime.encoder_halo, window,
+                   mel_channels=runtime.mel_channels)

@@ -44,12 +44,18 @@ def generate_tokens(
     *,
     temperature: float = 1.0,
     top_k: int = 0,
+    top_p: float = 0.0,
     bos_id: int = 1,
     prompt: jax.Array | None = None,  # (B, P) optional token prefix
     forbidden_tokens: tuple = (),  # ids masked out of every sample (e.g.
     # pad/BOS/EOS specials that must not reach a codec decode)
 ) -> jax.Array:
-    """Returns (B, max_len) sampled tokens (excluding the BOS)."""
+    """Returns (B, max_len) sampled tokens (excluding the BOS).
+
+    top_k keeps the k highest logits; top_p (nucleus sampling) keeps the
+    smallest logit prefix whose probability mass reaches p (0 or >=1
+    disables). Both restrictions compose (top_k first).
+    """
     b = genre_ids.shape[0]
     genre_vec = jnp.take(params["genre_emb"]["embedding"], genre_ids, axis=0)
     cell = _cell(model)
@@ -84,6 +90,16 @@ def generate_tokens(
             logits = logits.at[:, forbid].set(-jnp.inf)
         if top_k and top_k > 0:
             kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+            logits = jnp.where(logits < kth, -jnp.inf, logits)
+        if top_p and 0.0 < top_p < 1.0:
+            # nucleus: keep the smallest descending-prob prefix reaching
+            # top_p of the mass (a token stays iff the mass BEFORE it is
+            # still < top_p, so the top-1 token always stays)
+            desc = jnp.sort(logits, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(desc, axis=-1)
+            before = jnp.cumsum(probs, axis=-1) - probs
+            kept = jnp.where(before < top_p, desc, jnp.inf)
+            kth = jnp.min(kept, axis=-1, keepdims=True)
             logits = jnp.where(logits < kth, -jnp.inf, logits)
         return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 

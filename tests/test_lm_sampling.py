@@ -61,6 +61,27 @@ def test_top_k_restricts_support(model_and_params):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_top_p_nucleus(model_and_params):
+    model, params = model_and_params
+    genres = jnp.asarray([0, 1])
+    # a vanishing nucleus keeps only the argmax -> greedy, rng-invariant,
+    # and equal to top_k=1
+    a = generate_tokens(model, params, genres, jax.random.key(1),
+                        max_len=12, top_p=1e-9)
+    b = generate_tokens(model, params, genres, jax.random.key(2),
+                        max_len=12, top_p=1e-9)
+    g = generate_tokens(model, params, genres, jax.random.key(3),
+                        max_len=12, top_k=1)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(g))
+    # top_p >= 1 disables the restriction: identical stream to unrestricted
+    # sampling under the same key
+    u = generate_tokens(model, params, genres, jax.random.key(4), max_len=12)
+    p1 = generate_tokens(model, params, genres, jax.random.key(4),
+                         max_len=12, top_p=1.0)
+    np.testing.assert_array_equal(np.asarray(u), np.asarray(p1))
+
+
 def test_prompt_continuation(model_and_params, rng):
     model, params = model_and_params
     genres = jnp.asarray([1])
