@@ -348,6 +348,54 @@ def bench_token_lm(hoisted: bool = True):
     }
 
 
+def bench_lm_generate(b: int = 64, gen_len: int = 512):
+    """Config 7: token-LM autoregressive GENERATION throughput (sampling).
+
+    Net-new serving surface — the reference trains the LSTM LM
+    (/root/reference/train_music_lstm_v2.py) but ships no generation code;
+    models/lm_sampling.py is ours. The whole generation is ONE compiled
+    lax.scan (no per-token host dispatch), so the number is device-side
+    sampling throughput: flagship LM dims (2-layer LSTM 1024, emb 512,
+    vocab 1003 = FSQ [8,5,5,5] + specials), temperature 1.0, top-k 64,
+    specials forbidden (the music_continuation defaults).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mqgan_tpu.models.lm_sampling import generate_tokens
+    from mqgan_tpu.models.music_lstm import MusicLSTM
+
+    vocab = 1003
+    model = MusicLSTM(vocab_size=vocab, num_genres=10, dtype=jnp.bfloat16)
+    genres = jnp.zeros((b,), jnp.int32)
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((b, 8), jnp.int32), genres)["params"]
+
+    @jax.jit
+    def generate(rng):
+        toks = generate_tokens(model, params, genres, rng, gen_len,
+                               temperature=1.0, top_k=64,
+                               forbidden_tokens=(0, 1, 2))
+        # tiny scalar: forces execution + host fetch on the lazy tunnel
+        return toks, jnp.sum(toks)
+
+    keys = jax.random.split(jax.random.key(7), ITERS + 2)
+    for k in keys[ITERS:]:  # compile + warm with distinct keys
+        float(generate(k)[1])
+    t0 = time.perf_counter()
+    outs = [generate(keys[i]) for i in range(ITERS)]
+    for o in outs:
+        float(o[1])
+    per = (time.perf_counter() - t0) / ITERS
+    return {
+        "config": f"7_lm_generate_b{b}",
+        "batch": b, "gen_len": gen_len, "top_k": 64,
+        "ms_total": round(per * 1000, 1),
+        "ms_per_token_step": round(per * 1000 / gen_len, 3),
+        "tokens_per_sec": round(b * gen_len / per, 1),
+    }
+
+
 def bench_directory_scale(poly_mixers: bool = False):
     """Config 5: the bench.py headline (B=64 T=512 reencode throughput).
 
@@ -449,6 +497,8 @@ BENCHES = {
     "6": bench_token_lm,
     "6c": lambda: bench_token_lm(hoisted=False),
     "5p": lambda: bench_directory_scale(poly_mixers=True),
+    "7": bench_lm_generate,
+    "7b": lambda: bench_lm_generate(b=1),
 }
 
 
@@ -457,7 +507,7 @@ def main():
     p.add_argument("--configs", nargs="+",
                    default=["1", "2", "3", "3b", "4", "5"],
                    choices=["1", "2", "3", "3b", "3bf", "3bc", "4", "4b",
-                            "4bf", "4br", "5", "5p", "6", "6c"])
+                            "4bf", "4br", "5", "5p", "6", "6c", "7", "7b"])
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results.json"))
     args = p.parse_args()
