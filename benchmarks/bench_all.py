@@ -110,7 +110,7 @@ PRACTICAL_PEAK_FLOPS = 216e12  # measured bf16 peak, benchmarks/README.md
 
 def _bench_train(cfg, mel_ch, tag, b=16, t=256, remat=False,
                  fast_dropout=False, mixer_chunk_t=None,
-                 remat_refiner=False):
+                 remat_refiner=False, grad_accum=1):
     import jax
     import jax.numpy as jnp
 
@@ -150,8 +150,11 @@ def _bench_train(cfg, mel_ch, tag, b=16, t=256, remat=False,
     # record every non-default generator knob so result JSONs are
     # self-describing without parsing the tag string
     out.update({k: v for k, v in gen_over.items() if k != "remat"})
+    if grad_accum > 1:
+        out["grad_accum"] = grad_accum
     for phase, train_d in [("warmup", False), ("gan", True)]:
-        step = make_train_step(cfg, train_d=train_d, dtype=jnp.bfloat16)
+        step = make_train_step(cfg, train_d=train_d, dtype=jnp.bfloat16,
+                               grad_accum=grad_accum)
         # compile once via AOT (also yields the XLA FLOP count for MFU),
         # then call the compiled executable directly — the jit cache is not
         # populated by lower().compile(), and a second compile through the
@@ -254,6 +257,19 @@ def bench_train_hifimusic_b32_fast_dropout():
     return _bench_train(cfg, cfg.model.mel_channels,
                         "4bf_train_step_hifimusic_b32_fast_dropout",
                         b=32, remat=True, fast_dropout=True)
+
+
+def bench_train_hifimusic_b64_grad_accum():
+    """hifimusic EFFECTIVE B=64 on one 16G chip — the batch no remat
+    setting can fit in one pass (18.31G of 15.75G HBM) — via
+    --grad_accum 2: two scanned B=32 microbatches per optimizer update
+    (one-pass numerics on pad-free batches, LeCam EMA aggregated over the
+    full 64). MFU here is computed from the accumulated step's own XLA
+    FLOP count, which includes the extra G+D forward the schedule pays."""
+    cfg = _hifimusic_cfg()
+    return _bench_train(cfg, cfg.model.mel_channels,
+                        "4ba_train_step_hifimusic_b64_grad_accum2",
+                        b=64, remat=True, grad_accum=2)
 
 
 def bench_train_hifimusic_b48_remat_refiner():
@@ -493,6 +509,7 @@ BENCHES = {
     "4b": bench_train_hifimusic_b32,
     "4bf": bench_train_hifimusic_b32_fast_dropout,
     "4br": bench_train_hifimusic_b48_remat_refiner,
+    "4ba": bench_train_hifimusic_b64_grad_accum,
     "5": bench_directory_scale,
     "6": bench_token_lm,
     "6c": lambda: bench_token_lm(hoisted=False),
@@ -507,7 +524,8 @@ def main():
     p.add_argument("--configs", nargs="+",
                    default=["1", "2", "3", "3b", "4", "5"],
                    choices=["1", "2", "3", "3b", "3bf", "3bc", "4", "4b",
-                            "4bf", "4br", "5", "5p", "6", "6c", "7", "7b"])
+                            "4bf", "4br", "4ba", "5", "5p", "6", "6c", "7",
+                            "7b"])
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results.json"))
     args = p.parse_args()

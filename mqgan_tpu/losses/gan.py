@@ -61,14 +61,32 @@ def _masked_mean(x, valid_mask=None):
     return jnp.sum(x * m) / jnp.maximum(jnp.sum(m) * scale, 1.0)
 
 
-def update_ema(
-    state: LeCamState, real_out, fake_out, real_mask=None, fake_mask=None,
-    decay: float = 0.99,
+def masked_sum_count(x, valid_mask=None):
+    """(sum, count) such that ``_masked_mean(x, m) == sum / max(count, 1)``.
+
+    The aggregation primitive behind gradient accumulation: per-microbatch
+    (sum, count) pairs add up to the exact full-effective-batch masked mean,
+    which per-microbatch means alone cannot reproduce when valid counts
+    differ across microbatches."""
+    x = x.astype(jnp.float32)
+    if valid_mask is None:
+        return jnp.sum(x), jnp.asarray(float(x.size), jnp.float32)
+    m = valid_mask.astype(jnp.float32)
+    scale = x.size / m.size if m.size != x.size else 1.0
+    if m.ndim < x.ndim:
+        m = m.reshape(m.shape + (1,) * (x.ndim - m.ndim))
+    return jnp.sum(x * m), jnp.sum(m) * scale
+
+
+def update_ema_from_means(
+    state: LeCamState, real_mean, fake_mean, decay: float = 0.99
 ) -> LeCamState:
-    """reference losses.py:37-58: first call copies the means, later calls
-    decay them."""
-    real_mean = jax.lax.stop_gradient(_masked_mean(real_out, real_mask))
-    fake_mean = jax.lax.stop_gradient(_masked_mean(fake_out, fake_mask))
+    """EMA update from precomputed batch means (reference losses.py:37-58:
+    first call copies the means, later calls decay them). Split out so the
+    gradient-accumulation step can feed means aggregated over the full
+    effective batch."""
+    real_mean = jax.lax.stop_gradient(real_mean)
+    fake_mean = jax.lax.stop_gradient(fake_mean)
     new_real = jnp.where(
         state.initialized, state.ema_real * decay + (1 - decay) * real_mean, real_mean
     )
@@ -76,6 +94,16 @@ def update_ema(
         state.initialized, state.ema_fake * decay + (1 - decay) * fake_mean, fake_mean
     )
     return LeCamState(new_real, new_fake, jnp.ones((), bool))
+
+
+def update_ema(
+    state: LeCamState, real_out, fake_out, real_mask=None, fake_mask=None,
+    decay: float = 0.99,
+) -> LeCamState:
+    """reference losses.py:37-58 — batch means of D outputs into the EMA."""
+    real_mean = _masked_mean(real_out, real_mask)
+    fake_mean = _masked_mean(fake_out, fake_mask)
+    return update_ema_from_means(state, real_mean, fake_mean, decay)
 
 
 def lecam_loss(state: LeCamState, real_out, fake_out, real_mask=None, fake_mask=None):
@@ -89,6 +117,30 @@ def lecam_loss(state: LeCamState, real_out, fake_out, real_mask=None, fake_mask=
         jnp.square(jnp.maximum(ema_r - fake_out.astype(jnp.float32), 0.0)), fake_mask
     )
     return term_r + term_f
+
+
+def discriminator_loss_fixed_ema(
+    real_output,
+    fake_output,
+    real_mask=None,
+    fake_mask=None,
+    *,
+    ema_state: LeCamState,
+    real_label: float = 1.0,
+    fake_label: float = 0.0,
+    use_lecam: bool = True,
+):
+    """The LSGAN + LeCam D loss with the EMA update factored OUT: the
+    penalty uses a caller-provided, already-updated LeCamState. Gradient
+    accumulation calls this per microbatch with per-call EMA constants
+    aggregated over the full effective batch, so the microbatch gradients
+    match the big-batch step's exactly."""
+    real_loss = _masked_mse(real_output, jnp.full_like(real_output, real_label), real_mask)
+    fake_loss = _masked_mse(fake_output, jnp.full_like(fake_output, fake_label), fake_mask)
+    loss = 0.5 * (real_loss + fake_loss)
+    if use_lecam:
+        loss = loss + lecam_loss(ema_state, real_output, fake_output, real_mask, fake_mask)
+    return loss
 
 
 def discriminator_loss(
@@ -105,12 +157,12 @@ def discriminator_loss(
 ):
     """Returns (loss, new_state) (reference losses.py:84-108: EMA update
     happens before the LeCam penalty, which uses the updated EMAs)."""
-    real_loss = _masked_mse(real_output, jnp.full_like(real_output, real_label), real_mask)
-    fake_loss = _masked_mse(fake_output, jnp.full_like(fake_output, fake_label), fake_mask)
-    loss = 0.5 * (real_loss + fake_loss)
     if use_lecam:
         state = update_ema(state, real_output, fake_output, real_mask, fake_mask, decay)
-        loss = loss + lecam_loss(state, real_output, fake_output, real_mask, fake_mask)
+    loss = discriminator_loss_fixed_ema(
+        real_output, fake_output, real_mask, fake_mask, ema_state=state,
+        real_label=real_label, fake_label=fake_label, use_lecam=use_lecam,
+    )
     return loss, state
 
 

@@ -48,9 +48,17 @@ class Trainer:
     def __init__(self, config: TrainConfig, *, use_wandb: bool = True,
                  dtype=jnp.bfloat16, mesh=None, max_steps_per_epoch: int | None = None,
                  profile_steps: int = 0, multihost: bool = False,
-                 watch_interval: int = 0):
+                 watch_interval: int = 0, grad_accum: int = 1):
         self.config = config
         self.dtype = dtype
+        # gradient accumulation: each batch runs as grad_accum scanned
+        # microbatches with one optimizer update (train/step.py) —
+        # activation memory scales with batch/grad_accum
+        self.grad_accum = int(grad_accum)
+        if self.grad_accum > 1 and config.data.batch_size % self.grad_accum:
+            raise ValueError(
+                f"batch_size {config.data.batch_size} not divisible by "
+                f"grad_accum {self.grad_accum}")
         self.start_epoch = 1
         self.max_steps_per_epoch = max_steps_per_epoch
         # capture a jax.profiler trace for profile_steps steps of the
@@ -221,6 +229,8 @@ class Trainer:
             self._steps[train_d] = make_train_step(
                 self.config, train_d=train_d, dtype=self.dtype,
                 log_grad_norms=bool(self.watch_interval),
+                grad_accum=self.grad_accum,
+                mesh=self.mesh if self.grad_accum > 1 else None,
             )
         return self._steps[train_d]
 
@@ -572,6 +582,15 @@ def main(argv=None):
                              "(crop lengths must divide by N) — per-device "
                              "activation memory ~T/N, numerics equal to "
                              "the unsharded step (tests/test_parallel.py)")
+    parser.add_argument("--grad_accum", type=int, default=1, metavar="N",
+                        help="gradient accumulation: run each batch as N "
+                             "scanned microbatches of batch_size/N rows "
+                             "with ONE optimizer update per phase — the "
+                             "memory knob for effective batches that OOM "
+                             "in one pass (hifimusic batch 64 on a 16G "
+                             "chip = --grad_accum 2). Numerics equal the "
+                             "one-pass step on pad-free batches "
+                             "(tests/test_train_step.py)")
     args = parser.parse_args(argv)
 
     import os as _os
@@ -639,6 +658,7 @@ def main(argv=None):
         multihost=args.multihost,
         watch_interval=args.watch,
         mesh=make_mesh(n_seq=args.seq_par) if args.seq_par > 1 else None,
+        grad_accum=args.grad_accum,
     )
     trainer.train()
     trainer.logger.close()

@@ -323,3 +323,65 @@ def test_multihost_single_process_paths(rng):
     np.testing.assert_allclose(np.asarray(arr), batch)
     # sharded over the data axis
     assert len(arr.sharding.device_set) == 8
+
+
+@pytest.mark.slow
+def test_grad_accum_sharded_matches_single_device():
+    """The gradient-accumulation step (train/step.py step_accum) is mesh-
+    invariant: 2 steps at grad_accum=2 on an 8x1 DP mesh and on a 2x1x4
+    DP x seq mesh equal the 1x1 single-device run (dropout stays ON — the
+    per-microbatch rng folds depend only on key and shapes, so the draws
+    are identical across meshes). Complements
+    test_train_step.py::test_grad_accum_matches_plain, which pins
+    accum == one-pass numerics."""
+    from mqgan_tpu.train.state import create_train_state
+    from mqgan_tpu.train.step import build_models, make_train_step
+
+    cfg = _load_graft_entry("accum")._flagship_config(tiny=True)
+    gen, patch, mb = build_models(cfg)
+
+    b, t, n_steps = 8, 32, 2
+    host_rng = np.random.default_rng(11)
+    mels = [
+        host_rng.standard_normal((b, t, cfg.model.mel_channels)).astype(np.float32)
+        for _ in range(n_steps)
+    ]
+    lengths = np.full((b,), t, np.int32)
+
+    mel0, len0 = jnp.asarray(mels[0]), jnp.asarray(lengths)
+    kg, kp, km, kr = jax.random.split(jax.random.key(3), 4)
+    state0, _, _ = create_train_state(
+        gen_variables=jax.jit(gen.init)(kg, mel0, len0),
+        patch_variables=jax.jit(patch.init)(kp, mel0, len0),
+        multibin_variables=jax.jit(mb.init)(km, mel0, len0),
+        training_cfg=cfg.training,
+        rng=kr,
+    )
+
+    def run(n_data, n_model, n_seq=1):
+        from mqgan_tpu.parallel.mesh import train_array_sharding
+
+        mesh = make_mesh(n_data=n_data, n_model=n_model, n_seq=n_seq)
+        step = make_train_step(cfg, train_d=True, donate=False,
+                               grad_accum=2, mesh=mesh)
+        state = jax.device_put(state0, state_shardings(mesh, state0))
+        for i in range(n_steps):
+            mel = jax.device_put(jnp.asarray(mels[i]),
+                                 train_array_sharding(mesh, 3))
+            lens = jax.device_put(jnp.asarray(lengths),
+                                  train_array_sharding(mesh, 1))
+            state, metrics = step(state, mel, lens)
+        return jax.device_get(state), jax.device_get(metrics)
+
+    ref_state, ref_metrics = run(1, 1)
+    for n_data, n_model, n_seq in [(8, 1, 1), (2, 1, 4)]:
+        got_state, got_metrics = run(n_data, n_model, n_seq)
+        tag = f"accum mesh {n_data}x{n_model}x{n_seq}"
+        _allclose_tree(got_metrics, ref_metrics, rtol=1e-3, atol=1e-4,
+                       what=f"{tag} metrics")
+        _allclose_tree(got_state.gen_params, ref_state.gen_params,
+                       what=f"{tag} gen_params")
+        _allclose_tree(got_state.disc_params, ref_state.disc_params,
+                       what=f"{tag} disc_params")
+        _allclose_tree(got_state.lecam, ref_state.lecam,
+                       what=f"{tag} lecam")

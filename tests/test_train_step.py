@@ -331,3 +331,69 @@ def test_rng_impl_variants(impl):
     # the per-step key advances and keeps its impl (checkpoint contract:
     # a resumed run must keep the impl it was trained with)
     assert jax.random.key_impl(new_state.rng) == jax.random.key_impl(state.rng)
+
+
+def _no_dropout(cfg):
+    import dataclasses
+
+    return dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, generator=dataclasses.replace(
+            cfg.model.generator, dropout=0.0, fsq_noise_dropout=0.0)))
+
+
+@pytest.mark.parametrize("train_d,use_fm", [(True, True), (False, False)])
+def test_grad_accum_matches_plain(train_d, use_fm, monkeypatch):
+    """grad_accum=N (scanned microbatches, one optimizer update) equals the
+    one-pass step exactly on pad-free batches: per-term masked means agree
+    when valid counts match across microbatches, and the LeCam EMA chain is
+    rebuilt from sums aggregated over ALL microbatches. Dropout must be
+    inert for the comparison (with dropout on, the draws are iid either way
+    but not bitwise comparable): config rates go to 0 AND nn.Dropout is
+    patched to identity, because the mel mixers carry a hardcoded
+    reference-parity rate of 0.1 (models/preencoder.py)."""
+    import flax.linen as fnn
+
+    monkeypatch.setattr(
+        fnn.Dropout, "__call__",
+        lambda self, x, deterministic=None, rng=None: x)
+    cfg = _no_dropout(tiny_config(use_fm=use_fm))
+    gen, patch, mb = build_models(cfg)
+    big_b = 8
+    rng = np.random.default_rng(7)
+    mel = jnp.asarray(rng.standard_normal((big_b, T, MEL)).astype(np.float32))
+    lengths = jnp.full((big_b,), T, jnp.int32)  # pad-free
+
+    k = jax.random.key(0)
+    gv = gen.init(k, mel, lengths)
+    pv = patch.init(k, mel, lengths)
+    mv = mb.init(k, mel, lengths)
+
+    def fresh_state():
+        state, _, _ = create_train_state(
+            gen_variables=gv, patch_variables=pv, multibin_variables=mv,
+            training_cfg=cfg.training, rng=jax.random.key(1),
+        )
+        return state
+
+    plain = make_train_step(cfg, train_d=train_d, donate=False)
+    accum = make_train_step(cfg, train_d=train_d, donate=False,
+                            grad_accum=2)
+
+    s_plain, s_accum = fresh_state(), fresh_state()
+    for _ in range(2):  # two steps: the 2nd exercises the EMA decay branch
+        s_plain, m_plain = plain(s_plain, mel, lengths)
+        s_accum, m_accum = accum(s_accum, mel, lengths)
+
+    for key in m_plain:
+        np.testing.assert_allclose(
+            float(m_plain[key]), float(m_accum[key]), rtol=5e-4, atol=1e-5,
+            err_msg=f"metric {key}")
+    for name, a, b in (("gen", s_plain.gen_params, s_accum.gen_params),
+                       ("disc", s_plain.disc_params, s_accum.disc_params),
+                       ("gen_opt", s_plain.gen_opt, s_accum.gen_opt),
+                       ("lecam", s_plain.lecam, s_accum.lecam),
+                       ("stats", s_plain.disc_stats, s_accum.disc_stats)):
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x, np.float32), np.asarray(y, np.float32),
+                rtol=5e-4, atol=1e-5, err_msg=name), a, b)
