@@ -93,6 +93,11 @@ class Trainer:
         self._batch_sharding = batch_sharding(self.mesh)
         self._repl = replicated(self.mesh)
 
+        # graceful shutdown: SIGTERM/SIGINT (preemption, Ctrl-C) set this
+        # flag; the epoch loop stops at the next step boundary and train()
+        # writes a checkpoint before exiting (a second signal force-kills)
+        self._stop_requested = False
+
         self._setup_data()
         self._setup_state()
         self._steps: Dict[bool, callable] = {}
@@ -285,6 +290,8 @@ class Trainer:
                 self.logger.log(last, step=int(self.state.step))
             if self.max_steps_per_epoch and n >= self.max_steps_per_epoch:
                 break
+            if self._stop_requested:
+                break  # signal received: stop at this step boundary
         if self._profiling:
             self._maybe_profile(_PROFILE_START + self.profile_steps)  # close
         self._log_train_images(epoch, last_batch)
@@ -501,16 +508,59 @@ class Trainer:
 
             multihost_utils.sync_global_devices(f"ckpt_epoch_{epoch}")
 
+    def _install_signal_handlers(self):
+        """SIGTERM/SIGINT -> finish the current step, checkpoint, exit
+        cleanly (preemption safety). A second signal raises
+        KeyboardInterrupt (force-quit). Returns the previous handlers (or
+        None when not on the main thread, where signals cannot be set —
+        e.g. under some test runners)."""
+        import signal as _signal
+
+        def _request_stop(signum, frame):
+            if self._stop_requested:
+                raise KeyboardInterrupt  # second signal: die for real
+            self._stop_requested = True
+            print(f"signal {signum}: finishing the current step, then "
+                  "checkpointing and exiting (signal again to force-quit)")
+
+        prev = {}
+        for sig in (_signal.SIGTERM, _signal.SIGINT):
+            try:
+                prev[sig] = _signal.signal(sig, _request_stop)
+            except ValueError:
+                return None
+        return prev
+
     def train(self):
+        import signal as _signal
+
         cfg = self.config
-        for epoch in range(self.start_epoch, cfg.training.num_epochs + 1):
-            last = self.train_epoch(epoch)
-            print(f"Epoch {epoch}: {last}")
-            if (epoch % cfg.logging.eval_interval == 0 and
-                    len(self.eval_dataset) and self._is_primary):
-                self.evaluate(epoch)
-            if epoch % cfg.logging.save_interval == 0:
-                self.save(epoch)
+        prev_handlers = self._install_signal_handlers()
+        try:
+            for epoch in range(self.start_epoch, cfg.training.num_epochs + 1):
+                last = self.train_epoch(epoch)
+                print(f"Epoch {epoch}: {last}")
+                if self._stop_requested:
+                    # preemption save: tagged with the interrupted epoch —
+                    # resume continues at epoch+1 (the tail of this
+                    # epoch's shuffled crops is skipped, which is the
+                    # standard preemption trade at epoch granularity).
+                    # Under multihost every process must receive the
+                    # signal (the norm for preemptions) or the save
+                    # barrier would wait.
+                    self.save(epoch)
+                    print(f"Stopped by signal after epoch {epoch} "
+                          "(possibly partial); checkpoint written.")
+                    break
+                if (epoch % cfg.logging.eval_interval == 0 and
+                        len(self.eval_dataset) and self._is_primary):
+                    self.evaluate(epoch)
+                if epoch % cfg.logging.save_interval == 0:
+                    self.save(epoch)
+        finally:
+            if prev_handlers:
+                for sig, h in prev_handlers.items():
+                    _signal.signal(sig, h)
         ckpt_utils.wait_for_saves()  # drain async saves before exit
         print("Training finished.")
 

@@ -310,3 +310,98 @@ def test_resume_across_rng_impl(tmp_path, capsys):
     impl = str(jr.key_impl(jax.device_get(t2.state.rng)))
     assert "threefry" in impl
     t2.logger.close()
+
+
+@pytest.mark.slow
+def test_sigterm_graceful_checkpoint(tmp_path):
+    """SIGTERM mid-run -> the trainer finishes the current step, writes a
+    checkpoint tagged with the interrupted epoch, and exits 0 (preemption
+    safety). A fresh Trainer on the same output_dir resumes from it."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    data_dir = make_dataset(tmp_path)
+    out_dir = str(tmp_path / "out")
+    yaml_path = tmp_path / "model.yaml"
+    # warmup-only (D start far away) keeps this to one compile per bucket;
+    # save_interval 50 ensures the only checkpoint is the preemption save
+    yaml_path.write_text(f"""
+data:
+  data_dir: {data_dir}
+  output_dir: {out_dir}
+  batch_size: 8
+  crop_len: [32]
+  validation_split: 0.25
+model:
+  mel_channels: {MEL}
+  generator:
+    channels: [8, 12]
+    kernel_sizes: [3]
+    fsq_levels: [8, 5, 5, 5]
+    refiner_base_channels: 4
+    refiner_depth: 2
+  discriminator_patch:
+    hidden_channels: [4, 8]
+    kernel_sizes: [3, 3, 3]
+    strides: [[1, 2], [2, 2], [1, 1]]
+  discriminator_multibin:
+    hidden_channels: [4, 4]
+    kernel_sizes: [3, 3, 3]
+    n_bins: 2
+    n_no_strides: 1
+training:
+  num_epochs: 500
+  discriminator_train_start_epoch: 400
+  warmup_steps: 5
+logging:
+  eval_interval: 100
+  save_interval: 50
+""")
+    env = dict(os.environ, PYTHONPATH="/root/repo", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               PYTHONUNBUFFERED="1")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "mqgan_tpu.train.trainer",
+         "--config", str(yaml_path), "--no_wandb", "--fp32"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+    lines = []
+    try:
+        deadline = _time.time() + 540
+        # wait until a couple of epochs ran, then preempt
+        while _time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                break
+            lines.append(line)
+            if line.startswith("Epoch 3:"):
+                proc.send_signal(signal.SIGTERM)
+                break
+        else:
+            pytest.fail("trainer never reached epoch 3")
+        rest, _ = proc.communicate(timeout=180)
+        lines.append(rest)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    out = "".join(lines)
+    assert proc.returncode == 0, out[-3000:]
+    assert "checkpoint written" in out.lower(), out[-3000:]
+    assert "Training finished." in out
+
+    from mqgan_tpu.utils.checkpoint import latest_checkpoint
+
+    latest = latest_checkpoint(out_dir)
+    assert latest is not None
+    epoch = latest[1]
+    assert epoch >= 3  # the preemption save, not a periodic one (interval 50)
+
+    # resumable: a fresh Trainer picks the preemption checkpoint up
+    from mqgan_tpu.train.trainer import Trainer
+
+    cfg = TrainConfig.from_yaml(str(yaml_path))
+    trainer = Trainer(cfg, use_wandb=False, dtype=jnp.float32)
+    assert trainer.start_epoch == epoch + 1
+    assert int(trainer.state.step) > 0
+    trainer.logger.close()
