@@ -208,6 +208,17 @@ def bench_train_b64_fast_dropout():
                         fast_dropout=True)
 
 
+def bench_train_hifispeech_b128_grad_accum():
+    """hifispeech EFFECTIVE B=128 — 2x the largest one-pass batch (B=64
+    needs remat and peaks at 14.3G) — via --grad_accum 2 over B=64
+    microbatches."""
+    from mqgan_tpu.core.config import TrainConfig
+
+    return _bench_train(TrainConfig.from_dict({}), 128,
+                        "3ba_train_step_hifispeech_b128_grad_accum2",
+                        b=128, remat=True, grad_accum=2)
+
+
 def bench_train_b64_chunk64():
     """A/B: B=64 remat with 64-frame mixer chunks (serialization trade)."""
     from mqgan_tpu.core.config import TrainConfig
@@ -504,6 +515,7 @@ BENCHES = {
     "3": bench_train_hifispeech,
     "3b": bench_train_hifispeech_b64,
     "3bf": bench_train_b64_fast_dropout,
+    "3ba": bench_train_hifispeech_b128_grad_accum,
     "3bc": bench_train_b64_chunk64,
     "4": bench_train_hifimusic,
     "4b": bench_train_hifimusic_b32,
@@ -523,9 +535,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--configs", nargs="+",
                    default=["1", "2", "3", "3b", "4", "5"],
-                   choices=["1", "2", "3", "3b", "3bf", "3bc", "4", "4b",
-                            "4bf", "4br", "4ba", "5", "5p", "6", "6c", "7",
-                            "7b"])
+                   choices=["1", "2", "3", "3b", "3ba", "3bf", "3bc", "4",
+                            "4b", "4bf", "4br", "4ba", "5", "5p", "6", "6c",
+                            "7", "7b"])
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results.json"))
     args = p.parse_args()

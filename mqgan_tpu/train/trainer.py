@@ -48,9 +48,16 @@ class Trainer:
     def __init__(self, config: TrainConfig, *, use_wandb: bool = True,
                  dtype=jnp.bfloat16, mesh=None, max_steps_per_epoch: int | None = None,
                  profile_steps: int = 0, multihost: bool = False,
-                 watch_interval: int = 0, grad_accum: int = 1):
+                 watch_interval: int = 0, grad_accum: int = 1,
+                 keep_best: bool = False):
         self.config = config
         self.dtype = dtype
+        # eval-gated best checkpoint (the GAN analog of the LSTM trainer's
+        # best-val model): when eval recon improves, snapshot the generator
+        # to output_dir/generator_best — directly consumable by
+        # --pretrained warm starts and deploy.export
+        self.keep_best = keep_best
+        self._best_eval = float("inf")
         # gradient accumulation: each batch runs as grad_accum scanned
         # microbatches with one optimizer update (train/step.py) —
         # activation memory scales with batch/grad_accum
@@ -492,6 +499,35 @@ class Trainer:
             return avg
         return {}
 
+    def _maybe_save_best(self, epoch: int, ev: Dict[str, float]):
+        """Snapshot the generator when eval recon (post) improves — the GAN
+        analog of the LSTM trainer's best-val checkpoint. Generator-only
+        (what export/warm-start consume); a sidecar JSON records which
+        epoch won so resumed runs keep the running best."""
+        if not (self.keep_best and self._is_primary and ev):
+            return
+        import json
+        import os
+
+        score = ev.get("eval_recon_post_mse")
+        if score is None:
+            return
+        meta_path = os.path.join(self.config.data.output_dir,
+                                 "generator_best.json")
+        if self._best_eval == float("inf") and os.path.exists(meta_path):
+            with open(meta_path) as f:
+                self._best_eval = float(json.load(f)["eval_recon_post_mse"])
+        if score >= self._best_eval:
+            return
+        self._best_eval = score
+        path = ckpt_utils.save_generator_only(
+            self.config.data.output_dir,
+            jax.device_get(self._local_gen_params()),
+            name="generator_best")
+        with open(meta_path, "w") as f:
+            json.dump({"epoch": epoch, "eval_recon_post_mse": score}, f)
+        print(f"New best eval recon {score:.6f} (epoch {epoch}) -> {path}")
+
     def save(self, epoch: int):
         # state is replicated, so the primary host's copy is the global
         # state; non-primary hosts just hit the barrier
@@ -554,7 +590,8 @@ class Trainer:
                     break
                 if (epoch % cfg.logging.eval_interval == 0 and
                         len(self.eval_dataset) and self._is_primary):
-                    self.evaluate(epoch)
+                    ev = self.evaluate(epoch)
+                    self._maybe_save_best(epoch, ev)
                 if epoch % cfg.logging.save_interval == 0:
                     self.save(epoch)
         finally:
@@ -632,6 +669,10 @@ def main(argv=None):
                              "(crop lengths must divide by N) — per-device "
                              "activation memory ~T/N, numerics equal to "
                              "the unsharded step (tests/test_parallel.py)")
+    parser.add_argument("--keep_best", action="store_true",
+                        help="whenever eval recon (post) improves, snapshot "
+                             "the generator to output_dir/generator_best "
+                             "(consumable by --pretrained and deploy.export)")
     parser.add_argument("--grad_accum", type=int, default=1, metavar="N",
                         help="gradient accumulation: run each batch as N "
                              "scanned microbatches of batch_size/N rows "
@@ -709,6 +750,7 @@ def main(argv=None):
         watch_interval=args.watch,
         mesh=make_mesh(n_seq=args.seq_par) if args.seq_par > 1 else None,
         grad_accum=args.grad_accum,
+        keep_best=args.keep_best,
     )
     trainer.train()
     trainer.logger.close()

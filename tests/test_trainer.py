@@ -405,3 +405,47 @@ logging:
     assert trainer.start_epoch == epoch + 1
     assert int(trainer.state.step) > 0
     trainer.logger.close()
+
+
+@pytest.mark.slow
+def test_keep_best_generator_snapshot(tmp_path):
+    """--keep_best snapshots the generator when eval recon improves:
+    generator_best + sidecar JSON written, loadable as a --pretrained
+    warm start, and a resumed trainer keeps the running best (no
+    overwrite on a worse eval)."""
+    from mqgan_tpu.train.trainer import Trainer
+    from mqgan_tpu.utils.checkpoint import load_pretrained_generator
+
+    data_dir = make_dataset(tmp_path)
+    out_dir = str(tmp_path / "out")
+    cfg = trainer_config(data_dir, out_dir)
+
+    trainer = Trainer(cfg, use_wandb=False, dtype=jnp.float32,
+                      max_steps_per_epoch=2, keep_best=True)
+    trainer.train()  # eval_interval=2 -> one eval at epoch 2
+    trainer.logger.close()
+
+    best_dir = os.path.join(out_dir, "generator_best")
+    meta = os.path.join(out_dir, "generator_best.json")
+    assert os.path.isdir(best_dir) and os.path.exists(meta)
+    rec = json.load(open(meta))
+    assert rec["epoch"] == 2 and np.isfinite(rec["eval_recon_post_mse"])
+
+    # consumable as a generator warm start (orbax generator-only format)
+    gcfg = cfg.model.generator
+    params = load_pretrained_generator(
+        best_dir, gcfg.channels, gcfg.refiner_depth,
+        template=jax.device_get(trainer.state.gen_params))
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(
+                jax.device_get(trainer.state.gen_params)))
+
+    # a fresh trainer reads the sidecar and refuses a worse score
+    trainer2 = Trainer(cfg, use_wandb=False, dtype=jnp.float32,
+                       max_steps_per_epoch=2, keep_best=True)
+    before = os.path.getmtime(meta)
+    trainer2._maybe_save_best(
+        99, {"eval_recon_post_mse": rec["eval_recon_post_mse"] + 1.0})
+    assert os.path.getmtime(meta) == before  # not overwritten
+    assert trainer2._best_eval == pytest.approx(rec["eval_recon_post_mse"])
+    trainer2.logger.close()
