@@ -217,12 +217,20 @@ def music_lstm_pipelined_logits(
     n_layers: int,
     axis: str = "pipe",
     pad_id: int = 0,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
 ) -> jax.Array:
-    """Deterministic MusicLSTM forward with the LSTM stack pipelined
-    (embedding and vocab head replicated — they are a gather and one
-    matmul; the recurrent stack is the pipelined cost). Matches
-    MusicLSTM.__call__(deterministic=True) exactly; differentiable, so
-    jax.grad through it is a pipelined backward."""
+    """MusicLSTM forward with the LSTM stack pipelined (embedding and
+    vocab head replicated — they are a gather and one matmul; the
+    recurrent stack is the pipelined cost). Deterministic by default and
+    then matches MusicLSTM.__call__(deterministic=True) exactly;
+    differentiable, so jax.grad through it is a pipelined backward.
+
+    Training: MusicLSTM's only dropout sits OUTSIDE the recurrence
+    (models/music_lstm.py — after the stack, before the vocab head), so
+    passing (dropout_rate, dropout_rng) reproduces the serial model's
+    regularization exactly in distribution (inverted dropout, flax
+    semantics); the recurrent pipeline itself needs no stochastic state."""
     p = variables["params"]
     tok_e = p["tok_emb"]["embedding"][tokens]
     tok_e = jnp.where((tokens == pad_id)[..., None],
@@ -230,4 +238,8 @@ def music_lstm_pipelined_logits(
     x = tok_e + p["genre_emb"]["embedding"][genres][:, None, :]
     h = lstm_stack_pipelined(variables, x, mesh, n_micro, n_layers,
                              axis=axis)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep_prob = 1.0 - dropout_rate
+        keep = jax.random.bernoulli(dropout_rng, keep_prob, h.shape)
+        h = jnp.where(keep, h / keep_prob, jnp.zeros((), h.dtype))
     return h @ p["proj"]["kernel"] + p["proj"]["bias"]

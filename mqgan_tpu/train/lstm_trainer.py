@@ -83,14 +83,34 @@ def collate_music(seqs, genres, pad_id=0, max_len: int | None = None):
     return tokens, np.asarray(genres, np.int64), lengths
 
 
-def make_lstm_step(model: MusicLSTM, tx, pad_id: int, train: bool):
+def make_lstm_step(model: MusicLSTM, tx, pad_id: int, train: bool,
+                   pipe_mesh=None, pipe_micro: int = 4):
+    """One jitted LM step. With pipe_mesh (a 1-D "pipe" mesh of
+    lstm_layers devices), the recurrent stack runs pipeline-parallel —
+    one layer per device, GPipe microbatches (parallel/pipeline.py);
+    MusicLSTM's dropout sits outside the recurrence, so training
+    composes with the pipeline unchanged (values/grads equal the serial
+    stack — tests/test_pipeline.py)."""
+
     def loss_fn(params, tokens, genres, lengths, rng):
         inp, tgt = tokens[:, :-1], tokens[:, 1:]
-        logits = model.apply(
-            {"params": params}, inp, genres, lengths - 1,
-            deterministic=not train,
-            rngs={"dropout": rng} if train else {},
-        )
+        if pipe_mesh is not None:
+            from mqgan_tpu.parallel.pipeline import (
+                music_lstm_pipelined_logits,
+            )
+
+            logits = music_lstm_pipelined_logits(
+                {"params": params}, inp, genres, pipe_mesh, pipe_micro,
+                model.lstm_layers, pad_id=pad_id,
+                dropout_rate=model.dropout if train else 0.0,
+                dropout_rng=rng if train else None,
+            )
+        else:
+            logits = model.apply(
+                {"params": params}, inp, genres, lengths - 1,
+                deterministic=not train,
+                rngs={"dropout": rng} if train else {},
+            )
         loss, n_valid = masked_ce_loss(logits, tgt, pad_id)
         return loss, n_valid
 
@@ -176,6 +196,15 @@ def main(argv=None):
     p.add_argument("--pretrained", default=None,
                    help="warm-start weights: torch .pt/.pth (reference "
                         "format) or an orbax params dir")
+    p.add_argument("--pipe", type=int, default=0, metavar="N",
+                   help="pipeline parallelism: run the recurrent stack "
+                        "one LSTM layer per device over an N-device "
+                        "'pipe' mesh (requires N == --lstm_layers; GPipe "
+                        "microbatch schedule, values/grads equal serial)")
+    p.add_argument("--pipe_micro", type=int, default=4, metavar="M",
+                   help="GPipe microbatches per batch under --pipe "
+                        "(batch_size must divide by M; bubble fraction "
+                        "(N-1)/(M+N-1))")
     args = p.parse_args(argv)
 
     os.makedirs(args.out_dir, exist_ok=True)
@@ -223,8 +252,32 @@ def main(argv=None):
     tx = optax.chain(optax.clip_by_global_norm(args.max_grad_norm),
                      optax.adamw(args.lr))
     opt_state = tx.init(params)
-    train_step = make_lstm_step(model, tx, args.pad_id, train=True)
-    eval_step = make_lstm_step(model, tx, args.pad_id, train=False)
+    pipe_mesh = None
+    if args.pipe:
+        from jax.sharding import Mesh
+
+        if args.pipe != args.lstm_layers:
+            raise SystemExit(
+                f"--pipe {args.pipe} must equal --lstm_layers "
+                f"{args.lstm_layers} (one layer per pipe device)")
+        if args.batch_size % args.pipe_micro:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} not divisible by "
+                f"--pipe_micro {args.pipe_micro}")
+        devs = jax.devices()
+        if len(devs) < args.pipe:
+            raise SystemExit(
+                f"--pipe {args.pipe} needs {args.pipe} devices, "
+                f"have {len(devs)}")
+        pipe_mesh = Mesh(np.asarray(devs[: args.pipe]), ("pipe",))
+        print(f"pipeline parallel: {args.pipe} stages x "
+              f"{args.pipe_micro} microbatches")
+    train_step = make_lstm_step(model, tx, args.pad_id, train=True,
+                                pipe_mesh=pipe_mesh,
+                                pipe_micro=args.pipe_micro)
+    eval_step = make_lstm_step(model, tx, args.pad_id, train=False,
+                               pipe_mesh=pipe_mesh,
+                               pipe_micro=args.pipe_micro)
     rng = jax.random.key(args.seed + 1)
 
     best_val = float("inf")

@@ -92,3 +92,61 @@ def test_pipeline_map_generic_stage_chain(lm_setup):
             want = stage({"w": w[i], "b": b[i]}, want)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=1e-6, rtol=1e-6)
+
+
+def test_pipelined_train_step_matches_serial(lm_setup):
+    """The LSTM trainer's actual train step (make_lstm_step) with a pipe
+    mesh equals the serial step: 2 AdamW updates on the same batch give
+    the same params (dropout=0 so the different rng plumbing — module
+    make_rng vs raw bernoulli on the pipelined path — is inert)."""
+    import optax
+
+    from mqgan_tpu.train.lstm_trainer import make_lstm_step
+
+    _, _, tokens, genres, mesh = lm_setup
+    model = MusicLSTM(vocab_size=VOCAB, num_genres=GENRES, emb_dim=EMB,
+                      lstm_hid=HID, lstm_layers=LAYERS, dropout=0.0)
+    lengths = jnp.sum((tokens != 0).astype(jnp.int32), axis=1)
+    variables = model.init(jax.random.key(0), tokens, genres)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-3))
+
+    def run(pipe_mesh):
+        params = variables["params"]
+        opt = tx.init(params)
+        step = make_lstm_step(model, tx, 0, train=True,
+                              pipe_mesh=pipe_mesh, pipe_micro=4)
+        rng = jax.random.key(7)
+        losses = []
+        for _ in range(2):
+            params, opt, loss, rng = step(params, opt, tokens, genres,
+                                          lengths, rng)
+            losses.append(float(loss))
+        return params, losses
+
+    p_serial, l_serial = run(None)
+    p_piped, l_piped = run(mesh)
+    np.testing.assert_allclose(l_piped, l_serial, rtol=1e-5, atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        p_piped, p_serial)
+
+
+def test_pipelined_dropout_moments(lm_setup):
+    """The pipelined path's training dropout (raw inverted bernoulli on
+    the stack output) preserves the mean like flax's nn.Dropout: the
+    expected logits equal the deterministic ones."""
+    model, variables, tokens, genres, mesh = lm_setup
+    det = music_lstm_pipelined_logits(
+        variables, tokens, genres, mesh, n_micro=4, n_layers=LAYERS)
+    keys = jax.random.split(jax.random.key(3), 64)
+
+    @jax.jit
+    def one(k):
+        return music_lstm_pipelined_logits(
+            variables, tokens, genres, mesh, n_micro=4, n_layers=LAYERS,
+            dropout_rate=0.5, dropout_rng=k)
+
+    avg = np.mean([np.asarray(one(k)) for k in keys], axis=0)
+    # 64 draws of 0.5-dropout: loose tolerance, mean must track
+    np.testing.assert_allclose(avg, np.asarray(det), atol=0.25)
