@@ -423,6 +423,145 @@ def bench_lm_generate(b: int = 64, gen_len: int = 512):
     }
 
 
+def bench_vocoder_train(adversarial: bool = False):
+    """Vocoder (ISTFTNetGenerator, models/istft_vocoder.py) train-step
+    throughput — flagship-shaped: 128 mels, hop 512, upsample 8x8,
+    n_fft 16, initial channel 512; B=16 x 32-frame segments (16,384
+    samples). Spectral (MR-STFT) objective; adversarial=True adds the
+    HiFi-GAN MPD/MSD D-then-G schedule (train/vocoder_trainer.py)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mqgan_tpu.models.istft_vocoder import ISTFTNetGenerator
+    from mqgan_tpu.losses.stft_loss import multi_resolution_stft_loss
+    from mqgan_tpu.signal.stft import istft
+
+    b, frames, mels, hop = 16, 32, 128, 512
+    n_fft, istft_hop = 16, hop // 64
+    gen = ISTFTNetGenerator(
+        n_mels=mels, upsample_rates=(8, 8),
+        upsample_kernel_sizes=(17, 17), upsample_initial_channel=512,
+        istft_n_fft=n_fft)
+    rng = np.random.default_rng(0)
+    target_len = frames * hop
+    mels_in = [jnp.asarray(rng.standard_normal((b, mels, frames)).astype(np.float32))
+               for _ in range(ITERS + 2)]
+    wavs = [jnp.asarray(rng.standard_normal((b, target_len)).astype(np.float32))
+            for _ in range(ITERS + 2)]
+    params = jax.jit(gen.init)(jax.random.key(0), mels_in[0])
+    tx = optax.adamw(2e-4)
+    opt = tx.init(params)
+
+    def synth(p, mel):
+        # n = min(pred_len, target_len), both sides sliced — exactly
+        # train/vocoder_trainer.py's loss_fn contract
+        spec, phase = gen.apply(p, mel)
+        return istft(spec, phase, n_fft, istft_hop, n_fft)[:, 0, :target_len]
+
+    probe = jax.eval_shape(lambda p, m: synth(p, m), params, mels_in[0])
+    n_cmp = min(probe.shape[1], target_len)
+
+    if adversarial:
+        from mqgan_tpu.models.wave_discriminators import (
+            MultiPeriodDiscriminator,
+            MultiScaleDiscriminator,
+            adversarial_d_loss,
+            adversarial_g_loss,
+            feature_matching_loss,
+        )
+
+        mpd = MultiPeriodDiscriminator(periods=(2, 3, 5, 7, 11))
+        msd = MultiScaleDiscriminator(n_scales=3)
+        wav_ex = jnp.zeros((b, target_len))
+        d_params = {
+            "mpd": jax.jit(mpd.init)(jax.random.key(1), wav_ex)["params"],
+            "msd": jax.jit(msd.init)(jax.random.key(2), wav_ex)["params"],
+        }
+        d_tx = optax.adamw(2e-4)
+        d_opt = d_tx.init(d_params)
+
+        def step(carry, mel, wav):
+            p, o, dp, do = carry
+            # common-length slice on BOTH branches, exactly
+            # train/vocoder_trainer.py:209's adv_step_fn contract
+            wav = wav[:, :n_cmp]
+            fake = jax.lax.stop_gradient(synth(p, mel))[:, :n_cmp]
+
+            def d_loss(dp):
+                lr_m, _ = mpd.apply({"params": dp["mpd"]}, wav)
+                lf_m, _ = mpd.apply({"params": dp["mpd"]}, fake)
+                lr_s, _ = msd.apply({"params": dp["msd"]}, wav)
+                lf_s, _ = msd.apply({"params": dp["msd"]}, fake)
+                # same call shapes as train/vocoder_trainer.py:218
+                return adversarial_d_loss([lr_m, lr_s], [lf_m, lf_s])
+
+            dl, d_grads = jax.value_and_grad(d_loss)(dp)
+            du, do2 = d_tx.update(d_grads, do, dp)
+            dp2 = optax.apply_updates(dp, du)
+
+            def g_loss(p):
+                pred = synth(p, mel)[:, :n_cmp]
+                loss = 45.0 * multi_resolution_stft_loss(pred, wav[:, :n_cmp])
+                lg_m, fg_m = mpd.apply({"params": dp2["mpd"]}, pred)
+                _, fr_m = mpd.apply({"params": dp2["mpd"]}, wav)
+                lg_s, fg_s = msd.apply({"params": dp2["msd"]}, pred)
+                _, fr_s = msd.apply({"params": dp2["msd"]}, wav)
+                # same call shapes as train/vocoder_trainer.py:238-239
+                loss = loss + adversarial_g_loss([lg_m, lg_s])
+                loss = loss + 2.0 * feature_matching_loss(
+                    [*fr_m, *fr_s], [*fg_m, *fg_s])
+                return loss
+
+            gl, g_grads = jax.value_and_grad(g_loss)(p)
+            gu, o2 = tx.update(g_grads, o, p)
+            p2 = optax.apply_updates(p, gu)
+            return (p2, o2, dp2, do2), gl + dl
+
+        carry0 = (params, opt, d_params, d_opt)
+        tag = "8a_vocoder_train_step_adversarial"
+    else:
+        def step(carry, mel, wav):
+            p, o = carry
+
+            def loss_fn(p):
+                return multi_resolution_stft_loss(
+                    synth(p, mel)[:, :n_cmp], wav[:, :n_cmp])
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            u, o2 = tx.update(grads, o, p)
+            return (optax.apply_updates(p, u), o2), loss
+
+        carry0 = (params, opt)
+        tag = "8_vocoder_train_step"
+
+    jstep = jax.jit(step, donate_argnums=(0,))
+    compiled = jstep.lower(carry0, mels_in[0], wavs[0]).compile()
+    try:
+        flops = (compiled.cost_analysis() or {}).get("flops", 0.0)
+    except Exception:
+        flops = 0.0
+    carry, l0 = compiled(carry0, mels_in[-1], wavs[-1])
+    float(l0)
+    t0 = time.perf_counter()
+    ls = []
+    for i in range(ITERS):
+        carry, l = compiled(carry, mels_in[i], wavs[i])
+        ls.append(l)
+    for l in ls:
+        float(l)
+    per = (time.perf_counter() - t0) / ITERS
+    out = {
+        "config": tag, "batch": b, "segment_frames": frames,
+        "ms_per_step": round(per * 1000, 1),
+        "samples_per_sec": round(b * target_len / per, 1),
+    }
+    if flops:
+        out["mfu_vs_practical_peak"] = round(
+            flops / per / PRACTICAL_PEAK_FLOPS, 3)
+    return out
+
+
 def bench_directory_scale(poly_mixers: bool = False):
     """Config 5: the bench.py headline (B=64 T=512 reencode throughput).
 
@@ -528,6 +667,8 @@ BENCHES = {
     "5p": lambda: bench_directory_scale(poly_mixers=True),
     "7": bench_lm_generate,
     "7b": lambda: bench_lm_generate(b=1),
+    "8": bench_vocoder_train,
+    "8a": lambda: bench_vocoder_train(adversarial=True),
 }
 
 
@@ -537,7 +678,7 @@ def main():
                    default=["1", "2", "3", "3b", "4", "5"],
                    choices=["1", "2", "3", "3b", "3ba", "3bf", "3bc", "4",
                             "4b", "4bf", "4br", "4ba", "5", "5p", "6", "6c",
-                            "7", "7b"])
+                            "7", "7b", "8", "8a"])
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results.json"))
     args = p.parse_args()
