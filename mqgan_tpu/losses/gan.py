@@ -51,14 +51,11 @@ def _masked_mse(pred, target, valid_mask=None):
 
 
 def _masked_mean(x, valid_mask=None):
-    x = x.astype(jnp.float32)
-    if valid_mask is None:
-        return jnp.mean(x)
-    m = valid_mask.astype(jnp.float32)
-    if m.ndim < x.ndim:
-        m = m.reshape(m.shape + (1,) * (x.ndim - m.ndim))
-    scale = x.size / m.size if m.size != x.size else 1.0
-    return jnp.sum(x * m) / jnp.maximum(jnp.sum(m) * scale, 1.0)
+    # defined via masked_sum_count so the gradient-accumulation EMA
+    # aggregation (train/step.py lecam_chain) is exact BY CONSTRUCTION:
+    # _masked_mean(x, m) == sum / max(count, 1), always
+    s, c = masked_sum_count(x, valid_mask)
+    return s / jnp.maximum(c, 1.0)
 
 
 def masked_sum_count(x, valid_mask=None):

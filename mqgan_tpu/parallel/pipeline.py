@@ -192,17 +192,22 @@ def lstm_stack_pipelined(
     n_micro: int,
     n_layers: int,
     axis: str = "pipe",
+    dtype=None,
 ) -> jax.Array:
     """MusicLSTM's recurrent stack, one layer per pipe-axis device.
     Returns the last layer's (B, L, lstm_hid) hidden states — identical
-    values to running the layers serially (tests/test_pipeline.py)."""
+    values to running the layers serially (tests/test_pipeline.py).
+    dtype mirrors HoistedLSTMLayer's module dtype: params and inputs are
+    cast to it before the gate matmuls (params stay fp32 at rest)."""
     stages = stack_lstm_stage_params(variables, n_layers)
+    cdt = dtype or x_emb.dtype
+    stages = jax.tree.map(lambda w: w.astype(cdt), stages)
     d = stages["w_in"].shape[1]
     h = stages["w_hid"].shape[1]
     b, l, e = x_emb.shape
     if b % n_micro:
         raise ValueError(f"batch {b} not divisible by n_micro {n_micro}")
-    x = jnp.pad(x_emb, ((0, 0), (0, 0), (0, d - e)))
+    x = jnp.pad(x_emb.astype(cdt), ((0, 0), (0, 0), (0, d - e)))
     xs = x.reshape(n_micro, b // n_micro, l, d)
     ys = pipeline_map(_lstm_stage, stages, xs, mesh, axis=axis)
     return ys.reshape(b, l, d)[..., :h]
@@ -219,6 +224,7 @@ def music_lstm_pipelined_logits(
     pad_id: int = 0,
     dropout_rate: float = 0.0,
     dropout_rng: jax.Array | None = None,
+    dtype=None,
 ) -> jax.Array:
     """MusicLSTM forward with the LSTM stack pipelined (embedding and
     vocab head replicated — they are a gather and one matmul; the
@@ -232,14 +238,18 @@ def music_lstm_pipelined_logits(
     regularization exactly in distribution (inverted dropout, flax
     semantics); the recurrent pipeline itself needs no stochastic state."""
     p = variables["params"]
-    tok_e = p["tok_emb"]["embedding"][tokens]
+    # dtype mirrors MusicLSTM's module dtype (nn.Embed/nn.Dense cast
+    # params + inputs to it per call; params stay fp32 at rest)
+    cdt = dtype or p["tok_emb"]["embedding"].dtype
+    tok_e = p["tok_emb"]["embedding"].astype(cdt)[tokens]
     tok_e = jnp.where((tokens == pad_id)[..., None],
                       jnp.zeros((), tok_e.dtype), tok_e)
-    x = tok_e + p["genre_emb"]["embedding"][genres][:, None, :]
+    x = tok_e + p["genre_emb"]["embedding"].astype(cdt)[genres][:, None, :]
     h = lstm_stack_pipelined(variables, x, mesh, n_micro, n_layers,
-                             axis=axis)
+                             axis=axis, dtype=dtype)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep_prob = 1.0 - dropout_rate
         keep = jax.random.bernoulli(dropout_rng, keep_prob, h.shape)
         h = jnp.where(keep, h / keep_prob, jnp.zeros((), h.dtype))
-    return h @ p["proj"]["kernel"] + p["proj"]["bias"]
+    return (h @ p["proj"]["kernel"].astype(cdt)
+            + p["proj"]["bias"].astype(cdt))

@@ -104,6 +104,7 @@ def make_lstm_step(model: MusicLSTM, tx, pad_id: int, train: bool,
                 model.lstm_layers, pad_id=pad_id,
                 dropout_rate=model.dropout if train else 0.0,
                 dropout_rng=rng if train else None,
+                dtype=model.dtype,  # --bf16 applies to the pipeline too
             )
         else:
             logits = model.apply(

@@ -99,7 +99,11 @@ def make_train_step(
     per-loss-term valid counts are equal across microbatches — in
     particular for pad-free batches, the common case since collate crops
     every row to one bucket length (tests/test_train_step.py pins the
-    equality). Cost: one extra generator forward and one extra
+    equality). Rows are striped over microbatches so a short final
+    batch's zero-length fill rows (train/data.py) spread evenly instead
+    of concentrating in one microbatch; with real-row counts divisible
+    by N this keeps the equality exact even on fill-padded batches
+    (also test-pinned), and otherwise bounds the imbalance to one row. Cost: one extra generator forward and one extra
     discriminator forward per step (a saved vjp linearization cannot cross
     the D update in scanned form). `mesh` (optional) re-shards every
     microbatch over the full mesh so data parallelism keeps using all
@@ -355,6 +359,19 @@ def make_train_step(
         assert big_b % n == 0, (
             f"batch {big_b} not divisible by grad_accum {n}")
         b = big_b // n
+        # STRIPE rows over microbatches (microbatch k gets original rows
+        # k, k+n, k+2n, ...): per-microbatch losses are averaged with
+        # equal 1/n weight, so the per-term valid counts must be as equal
+        # as possible across microbatches or samples get re-weighted by
+        # their microbatch's count. The loader's zero-length fill rows on
+        # a short final batch sit CONTIGUOUSLY at the end — without
+        # striping a microbatch can be all-fill (loss 0, zero grads),
+        # halving that step's gradients. Striping balances real/fill rows
+        # to within one row per microbatch; a pure row permutation, so
+        # the one-pass step's semantics are untouched.
+        stripe = jnp.arange(big_b).reshape(b, n).T.reshape(-1)
+        mel = mel[stripe]
+        lengths = lengths[stripe]
         rng, r_drop, r_fsq = jax.random.split(state.rng, 3)
         mel_c_full = mel.astype(dtype) if dtype is not None else mel
         zero = jnp.zeros((), jnp.float32)

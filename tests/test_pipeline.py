@@ -150,3 +150,23 @@ def test_pipelined_dropout_moments(lm_setup):
     avg = np.mean([np.asarray(one(k)) for k in keys], axis=0)
     # 64 draws of 0.5-dropout: loose tolerance, mean must track
     np.testing.assert_allclose(avg, np.asarray(det), atol=0.25)
+
+
+def test_pipelined_logits_bf16_match_serial(lm_setup):
+    """--bf16 must apply to the pipelined path too: with dtype=bfloat16
+    the pipelined logits match the serial module-dtype forward (same cast
+    points: embeddings, gate matmuls, carry, vocab head)."""
+    _, _, tokens, genres, mesh = lm_setup
+    model = MusicLSTM(vocab_size=VOCAB, num_genres=GENRES, emb_dim=EMB,
+                      lstm_hid=HID, lstm_layers=LAYERS,
+                      dtype=jnp.bfloat16)
+    variables = model.init(jax.random.key(0), tokens, genres)
+    serial = model.apply(variables, tokens, genres, deterministic=True)
+
+    piped = music_lstm_pipelined_logits(
+        variables, tokens, genres, mesh, n_micro=4, n_layers=LAYERS,
+        dtype=jnp.bfloat16)
+    assert piped.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(piped, np.float32), np.asarray(serial, np.float32),
+        rtol=2e-2, atol=2e-2)

@@ -397,3 +397,57 @@ def test_grad_accum_matches_plain(train_d, use_fm, monkeypatch):
             lambda x, y: np.testing.assert_allclose(
                 np.asarray(x, np.float32), np.asarray(y, np.float32),
                 rtol=5e-4, atol=1e-5, err_msg=name), a, b)
+
+
+def test_grad_accum_fill_rows_match_plain(monkeypatch):
+    """A short final batch (zero-length fill rows at the END, as
+    train/data.py builds them) must not distort accumulated gradients:
+    rows are striped over microbatches, so each microbatch carries the
+    same number of real rows and the accumulated step stays exactly equal
+    to the one-pass step. Without striping, one microbatch would be
+    all-fill (zero loss, zero grads) and the update would be halved."""
+    import flax.linen as fnn
+
+    monkeypatch.setattr(
+        fnn.Dropout, "__call__",
+        lambda self, x, deterministic=None, rng=None: x)
+    cfg = _no_dropout(tiny_config())
+    gen, patch, mb = build_models(cfg)
+    big_b = 8
+    rng = np.random.default_rng(11)
+    mel = rng.standard_normal((big_b, T, MEL)).astype(np.float32)
+    lengths = np.full((big_b,), T, np.int32)
+    # last 4 rows: zero-length fill (zero mel, length 0) — the loader's
+    # short-final-batch layout
+    mel[4:] = 0.0
+    lengths[4:] = 0
+    mel, lengths = jnp.asarray(mel), jnp.asarray(lengths)
+
+    k = jax.random.key(0)
+    gv = gen.init(k, mel, lengths)
+    pv = patch.init(k, mel, lengths)
+    mv = mb.init(k, mel, lengths)
+
+    def fresh_state():
+        state, _, _ = create_train_state(
+            gen_variables=gv, patch_variables=pv, multibin_variables=mv,
+            training_cfg=cfg.training, rng=jax.random.key(1),
+        )
+        return state
+
+    plain = make_train_step(cfg, train_d=True, donate=False)
+    accum = make_train_step(cfg, train_d=True, donate=False, grad_accum=2)
+    s_plain, m_plain = plain(fresh_state(), mel, lengths)
+    s_accum, m_accum = accum(fresh_state(), mel, lengths)
+
+    assert float(m_plain["loss_g_total"]) > 0.1  # real rows DO contribute
+    np.testing.assert_allclose(
+        float(m_plain["loss_g_total"]), float(m_accum["loss_g_total"]),
+        rtol=5e-4, atol=1e-5)
+    for name, a, b in (("gen", s_plain.gen_params, s_accum.gen_params),
+                       ("disc", s_plain.disc_params, s_accum.disc_params),
+                       ("lecam", s_plain.lecam, s_accum.lecam)):
+        jax.tree_util.tree_map(
+            lambda x, y: np.testing.assert_allclose(
+                np.asarray(x, np.float32), np.asarray(y, np.float32),
+                rtol=5e-4, atol=1e-5, err_msg=name), a, b)
