@@ -72,7 +72,11 @@ def medium_cfg(variant, lr=None, warmup=None):
     over = {}
     if variant == "fast":
         over["fast_dropout"] = True
-    elif variant == "exact":
+    elif variant in ("exact", "accum"):
+        # "accum": identical config; the step runs as 2 scanned
+        # microbatches (grad_accum=2, see run_variant) — the convergence
+        # check for the effective-batch knob (dropout draws differ from
+        # "exact" by construction: per-microbatch rng folds)
         pass
     else:
         raise SystemExit(f"unknown variant {variant}")
@@ -104,7 +108,8 @@ def run_variant(variant, steps, b, t, log_every, lr=None, warmup=None):
         multibin_variables=jax.jit(mb.init)(k, init_mel, lens),
         training_cfg=cfg.training, rng=k,
     )
-    step = make_train_step(cfg, train_d=False, dtype=jnp.bfloat16)
+    step = make_train_step(cfg, train_d=False, dtype=jnp.bfloat16,
+                           grad_accum=2 if variant == "accum" else 1)
     compiled = step.lower(state, init_mel, lens).compile()
 
     traj = []
