@@ -36,6 +36,10 @@ class TrainState:
     disc_opt: Any
     lecam: LeCamState
     rng: jax.Array
+    # exponential moving average of gen_params (net-new vs the reference:
+    # the standard GAN eval/deploy weights — updated in-step when the
+    # trainer enables --ema, else stays None and costs nothing)
+    gen_ema: Any = None
 
 
 def warmup_schedule(lr: float, warmup_steps: int):

@@ -81,6 +81,7 @@ def make_train_step(
     log_grad_norms: bool = False,
     grad_accum: int = 1,
     mesh=None,
+    ema_decay: float = 0.0,
 ) -> Callable[[TrainState, jax.Array, jax.Array], Tuple[TrainState, Metrics]]:
     """Build a jitted train step for one phase.
 
@@ -92,6 +93,12 @@ def make_train_step(
     metrics (the in-graph half of the wandb.watch equivalent,
     reference train.py:333) — a static variant so the default graph is
     untouched.
+
+    ema_decay>0 maintains an exponential moving average of the generator
+    params in state.gen_ema (updated after each optimizer step:
+    ema = decay*ema + (1-decay)*params — the standard GAN deploy/eval
+    weights; no reference counterpart). state.gen_ema must be a params
+    tree (the trainer seeds it with a copy of gen_params).
 
     grad_accum=N accepts the same (B, T, C) batch but processes it as N
     scanned microbatches of B/N rows (one optimizer update per phase,
@@ -263,6 +270,13 @@ def make_train_step(
             "loss_fm": loss_fm,
         }
 
+    def ema_update(old_ema, new_params):
+        if ema_decay <= 0.0:
+            return old_ema
+        d = ema_decay
+        return jax.tree.map(lambda e, p: e * d + p * (1.0 - d),
+                            old_ema, new_params)
+
     def step(state: TrainState, mel: jax.Array, lengths: jax.Array):
         rng, r_drop, r_fsq = jax.random.split(state.rng, 3)
         rngs = {"dropout": r_drop, "fsq_noise": r_fsq}
@@ -350,6 +364,7 @@ def make_train_step(
             disc_opt=new_disc_opt,
             lecam=new_lecam,
             rng=rng,
+            gen_ema=ema_update(state.gen_ema, new_gen_params),
         )
         return new_state, metrics
 
@@ -542,6 +557,7 @@ def make_train_step(
             disc_opt=new_disc_opt,
             lecam=new_lecam,
             rng=rng,
+            gen_ema=ema_update(state.gen_ema, new_gen_params),
         )
         return new_state, metrics
 

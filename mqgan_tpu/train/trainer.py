@@ -49,9 +49,17 @@ class Trainer:
                  dtype=jnp.bfloat16, mesh=None, max_steps_per_epoch: int | None = None,
                  profile_steps: int = 0, multihost: bool = False,
                  watch_interval: int = 0, grad_accum: int = 1,
-                 keep_best: bool = False):
+                 keep_best: bool = False, ema_decay: float = 0.0):
         self.config = config
         self.dtype = dtype
+        # exponential moving average of the generator weights (net-new vs
+        # the reference; the standard GAN deploy/eval weights). When >0,
+        # the step maintains state.gen_ema and every eval consumer
+        # (eval metrics, eval plots, --keep_best snapshots) uses the EMA
+        # params — what you would actually ship.
+        if not (0.0 <= ema_decay < 1.0):
+            raise ValueError(f"ema_decay must be in [0, 1), got {ema_decay}")
+        self.ema_decay = float(ema_decay)
         # eval-gated best checkpoint (the GAN analog of the LSTM trainer's
         # best-val model): when eval recon improves, snapshot the generator
         # to output_dir/generator_best — directly consumable by
@@ -184,6 +192,13 @@ class Trainer:
             gen_variables=gv, patch_variables=pv, multibin_variables=mv,
             training_cfg=cfg.training, rng=kr,
         )
+        if self.ema_decay > 0:
+            # seed the EMA at the initial params (standard practice; the
+            # first updates pull it toward the trained weights). COPIES,
+            # not aliases: the jitted step donates the state, and donating
+            # the same buffer via two pytree leaves is an XLA error
+            state = state.replace(
+                gen_ema=jax.tree.map(jnp.copy, state.gen_params))
         # replicate the state over the mesh (multi-process safe)
         from mqgan_tpu.parallel.multihost import replicate_tree
 
@@ -196,32 +211,7 @@ class Trainer:
             path, epoch = latest
             print(f"Resuming from {path} (epoch {epoch})")
             host_state = jax.device_get(self.state)
-            try:
-                restored = ckpt_utils.restore_checkpoint(path, host_state)
-            except Exception as err:
-                # The PRNG impl changes the key-data shape (rbg keys are 4
-                # uint32 words, threefry 2), so a checkpoint written under
-                # the other impl fails template matching with an opaque
-                # orbax shape error. Retry with the alternate impl's key —
-                # the restored key carries its own impl, so training
-                # continues bit-compatibly with the original run.
-                other = ("threefry2x32"
-                         if cfg.training.rng_impl == "rbg" else "rbg")
-                try:
-                    alt = host_state.replace(
-                        rng=jax.random.key(cfg.training.seed, impl=other))
-                    restored = ckpt_utils.restore_checkpoint(path, alt)
-                except Exception:
-                    raise RuntimeError(
-                        f"Could not restore {path} with either PRNG impl "
-                        f"({cfg.training.rng_impl!r} or {other!r}); if the "
-                        "checkpoint predates the rng_impl config, pass "
-                        "--rng_impl to match the impl it was trained with"
-                    ) from err
-                print(f"NOTE: checkpoint was written with rng_impl="
-                      f"{other!r} (config says "
-                      f"{cfg.training.rng_impl!r}); continuing with the "
-                      f"checkpoint's {other!r} PRNG stream")
+            restored = self._restore_with_fallbacks(path, host_state, cfg)
             self.state = replicate_tree(restored, self._repl)
             self.start_epoch = epoch + 1
         elif cfg.training.pretrained:
@@ -235,6 +225,67 @@ class Trainer:
             gen_params = replicate_tree(gen_params, self._repl)
             self.state = self.state.replace(gen_params=gen_params)
 
+    def _restore_with_fallbacks(self, path, host_state, cfg):
+        """Restore a checkpoint trying every compatible template shape.
+
+        Two axes of drift between a checkpoint and the current run's
+        config, each changing the pytree the orbax template must mirror:
+        * the PRNG impl (rbg keys are 4 uint32 words, threefry 2) — retry
+          with the alternate impl's key; the restored key carries its own
+          impl, so training continues bit-compatibly with the original run;
+        * the --ema flag: checkpoints written without it lack the gen_ema
+          subtree (restore without it, then seed the EMA from the restored
+          params), and ones written WITH it carry a subtree a non-EMA run
+          must restore-and-drop (a stale EMA must not be re-saved as live).
+        """
+        other = "threefry2x32" if cfg.training.rng_impl == "rbg" else "rbg"
+        alt_rng = jax.random.key(cfg.training.seed, impl=other)
+        rng_variants = [
+            (host_state, None),
+            (host_state.replace(rng=alt_rng),
+             f"written with rng_impl={other!r} (config says "
+             f"{cfg.training.rng_impl!r}); continuing with the "
+             f"checkpoint's PRNG stream"),
+        ]
+        templates = list(rng_variants)
+        if host_state.gen_ema is not None:
+            for tmpl, note in rng_variants:
+                templates.append((
+                    tmpl.replace(gen_ema=None),
+                    ((note + "; ") if note else "") +
+                    "checkpoint predates --ema: seeding the EMA from the "
+                    "restored generator params"))
+        else:
+            for tmpl, note in rng_variants:
+                templates.append((
+                    tmpl.replace(gen_ema=tmpl.gen_params),
+                    ((note + "; ") if note else "") +
+                    "checkpoint carries gen_ema but --ema is off: the "
+                    "stale EMA is dropped (pass --ema to keep updating it)"))
+        first_err = None
+        for tmpl, note in templates:
+            try:
+                restored = ckpt_utils.restore_checkpoint(path, tmpl)
+            except Exception as e:  # noqa: BLE001 — try the next template
+                first_err = first_err or e
+                continue
+            if note:
+                print(f"NOTE: {note}")
+            if host_state.gen_ema is not None and restored.gen_ema is None:
+                # copies, not aliases (the donated step must not see one
+                # buffer twice)
+                restored = restored.replace(
+                    gen_ema=jax.tree.map(np.copy, restored.gen_params))
+            elif host_state.gen_ema is None and restored.gen_ema is not None:
+                restored = restored.replace(gen_ema=None)
+            return restored
+        raise RuntimeError(
+            f"Could not restore {path} with any compatible template "
+            f"(PRNG impls {cfg.training.rng_impl!r}/{other!r}, with/without "
+            "the gen_ema subtree); if the checkpoint predates the rng_impl "
+            "config, pass --rng_impl to match the impl it was trained with"
+        ) from first_err
+
     # ------------------------------------------------------------------
     def _step_fn(self, train_d: bool):
         if train_d not in self._steps:
@@ -243,6 +294,7 @@ class Trainer:
                 log_grad_norms=bool(self.watch_interval),
                 grad_accum=self.grad_accum,
                 mesh=self.mesh if self.grad_accum > 1 else None,
+                ema_decay=self.ema_decay,
             )
         return self._steps[train_d]
 
@@ -321,18 +373,25 @@ class Trainer:
             self._profiling = False
             print("profiling stopped")
 
-    def _local_gen_params(self):
+    def _local_gen_params(self, use_ema: bool = False):
         """Generator params usable in a process-local jit. In a multi-process
         run self.state lives on the global mesh; primary-only eval/plot jits
         must not consume it (the other processes would never join the
-        computation), so fetch the replicated values to the host first."""
+        computation), so fetch the replicated values to the host first.
+
+        use_ema=True returns the EMA weights when --ema is active (what
+        eval metrics, eval plots and --keep_best snapshots should see —
+        the weights you would deploy); falls back to the live params."""
+        params = self.state.gen_params
+        if use_ema and self.state.gen_ema is not None:
+            params = self.state.gen_ema
         if self.multihost and jax.process_count() > 1:
             # re-put the host copy onto a local device once, so the many
             # per-chunk eval-step calls reuse one transfer instead of
             # re-uploading the numpy tree on every call
-            return jax.device_put(jax.device_get(self.state.gen_params),
+            return jax.device_put(jax.device_get(params),
                                   jax.local_devices()[0])
-        return self.state.gen_params
+        return params
 
     def _log_train_images(self, epoch: int, batch):
         """End-of-epoch original/pre/post triptychs from the last train batch
@@ -390,7 +449,7 @@ class Trainer:
             chunk_plan, generator_halos, halo_align)
 
         if gen_params is None:
-            gen_params = self._local_gen_params()
+            gen_params = self._local_gen_params(use_ema=True)
         policy = BucketPolicy(DEFAULT_INFERENCE_BUCKETS[:6])
         max_t = policy.buckets[-1]
         t = mel.shape[0]
@@ -474,7 +533,7 @@ class Trainer:
         rng = np.random.default_rng(epoch)
         idxs = rng.choice(len(self.eval_dataset), size=n, replace=False) if n else []
         metrics_acc = []
-        gen_params = self._local_gen_params()
+        gen_params = self._local_gen_params(use_ema=True)
         for i, idx in enumerate(idxs):
             mel = self.eval_dataset.load(int(idx))
             if mel is None:
@@ -522,7 +581,7 @@ class Trainer:
         self._best_eval = score
         path = ckpt_utils.save_generator_only(
             self.config.data.output_dir,
-            jax.device_get(self._local_gen_params()),
+            jax.device_get(self._local_gen_params(use_ema=True)),
             name="generator_best")
         with open(meta_path, "w") as f:
             json.dump({"epoch": epoch, "eval_recon_post_mse": score}, f)
@@ -669,6 +728,12 @@ def main(argv=None):
                              "(crop lengths must divide by N) — per-device "
                              "activation memory ~T/N, numerics equal to "
                              "the unsharded step (tests/test_parallel.py)")
+    parser.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
+                        help="maintain an exponential moving average of the "
+                             "generator weights (e.g. 0.999): eval metrics, "
+                             "eval plots and --keep_best snapshots then use "
+                             "the EMA params — the standard GAN deploy "
+                             "weights (net-new vs the reference). 0 = off")
     parser.add_argument("--keep_best", action="store_true",
                         help="whenever eval recon (post) improves, snapshot "
                              "the generator to output_dir/generator_best "
@@ -751,6 +816,7 @@ def main(argv=None):
         mesh=make_mesh(n_seq=args.seq_par) if args.seq_par > 1 else None,
         grad_accum=args.grad_accum,
         keep_best=args.keep_best,
+        ema_decay=args.ema,
     )
     trainer.train()
     trainer.logger.close()
