@@ -110,7 +110,7 @@ PRACTICAL_PEAK_FLOPS = 216e12  # measured bf16 peak, benchmarks/README.md
 
 def _bench_train(cfg, mel_ch, tag, b=16, t=256, remat=False,
                  fast_dropout=False, mixer_chunk_t=None,
-                 remat_refiner=False, grad_accum=1):
+                 remat_refiner=False, grad_accum=1, ema_decay=0.0):
     import jax
     import jax.numpy as jnp
 
@@ -146,15 +146,20 @@ def _bench_train(cfg, mel_ch, tag, b=16, t=256, remat=False,
         multibin_variables=jax.jit(mb.init)(k, mels[0], lens),
         training_cfg=cfg.training, rng=k,
     )
+    if ema_decay > 0:
+        state0 = state0.replace(
+            gen_ema=jax.tree_util.tree_map(jnp.copy, state0.gen_params))
     out = {"config": tag, "batch": b, "frames": t, "remat": remat}
     # record every non-default generator knob so result JSONs are
     # self-describing without parsing the tag string
     out.update({k: v for k, v in gen_over.items() if k != "remat"})
     if grad_accum > 1:
         out["grad_accum"] = grad_accum
+    if ema_decay > 0:
+        out["ema_decay"] = ema_decay
     for phase, train_d in [("warmup", False), ("gan", True)]:
         step = make_train_step(cfg, train_d=train_d, dtype=jnp.bfloat16,
-                               grad_accum=grad_accum)
+                               grad_accum=grad_accum, ema_decay=ema_decay)
         # compile once via AOT (also yields the XLA FLOP count for MFU),
         # then call the compiled executable directly — the jit cache is not
         # populated by lower().compile(), and a second compile through the
@@ -217,6 +222,16 @@ def bench_train_hifispeech_b128_grad_accum():
     return _bench_train(TrainConfig.from_dict({}), 128,
                         "3ba_train_step_hifispeech_b128_grad_accum2",
                         b=128, remat=True, grad_accum=2)
+
+
+def bench_train_b64_ema():
+    """A/B: B=64 remat + --ema 0.999 (in-step generator weight EMA) —
+    one extra fused multiply-add over the param tree per step."""
+    from mqgan_tpu.core.config import TrainConfig
+
+    return _bench_train(TrainConfig.from_dict({}), 128,
+                        "3be_train_step_b64_ema", b=64, remat=True,
+                        ema_decay=0.999)
 
 
 def bench_train_b64_chunk64():
@@ -656,6 +671,7 @@ BENCHES = {
     "3bf": bench_train_b64_fast_dropout,
     "3ba": bench_train_hifispeech_b128_grad_accum,
     "3bc": bench_train_b64_chunk64,
+    "3be": bench_train_b64_ema,
     "4": bench_train_hifimusic,
     "4b": bench_train_hifimusic_b32,
     "4bf": bench_train_hifimusic_b32_fast_dropout,
@@ -676,7 +692,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--configs", nargs="+",
                    default=["1", "2", "3", "3b", "4", "5"],
-                   choices=["1", "2", "3", "3b", "3ba", "3bf", "3bc", "4",
+                   choices=["1", "2", "3", "3b", "3ba", "3bf", "3bc",
+                            "3be", "4",
                             "4b", "4bf", "4br", "4ba", "5", "5p", "6", "6c",
                             "7", "7b", "8", "8a"])
     p.add_argument("--out", default=os.path.join(
