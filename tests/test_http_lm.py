@@ -1,0 +1,149 @@
+"""LM generation server: sampled tokens over HTTP match direct sampler
+calls, codec decode integration, validation statuses."""
+
+import io
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mqgan_tpu.models.music_lstm import MusicLSTM
+from mqgan_tpu.models.preencoder import PreEncoder
+
+MEL = 16
+VOCAB = 1003  # codebook 1000 + pad/BOS/EOS
+MODEL_ARGS = dict(vocab_size=VOCAB, num_genres=3, emb_dim=8, lstm_hid=12,
+                  lstm_layers=2, pad_id=0)
+LM_ARGS = dict(MODEL_ARGS, bos_id=1)  # trainer args = model args + bos
+
+
+@pytest.fixture(scope="module")
+def lm_run(tmp_path_factory):
+    from mqgan_tpu.utils.checkpoint import save_generator_only
+
+    model = MusicLSTM(**MODEL_ARGS, dropout=0.0)
+    params = model.init(jax.random.key(3), jnp.zeros((1, 4), jnp.int32),
+                        jnp.zeros((1,), jnp.int32), None)["params"]
+    run = tmp_path_factory.mktemp("lm_run")
+    path = save_generator_only(str(run), jax.device_get(params), "model_e1")
+    with open(run / "best.json", "w") as f:
+        json.dump({"epoch": 1, "val_loss": 1.0, "path": path,
+                   "args": LM_ARGS}, f)
+    return str(run), model, params
+
+
+@pytest.fixture(scope="module")
+def codec_dir(tmp_path_factory):
+    from mqgan_tpu.deploy.export import export_preencoder
+
+    gen = PreEncoder(
+        mel_channels=MEL, channels=(8, 12), kernel_sizes=(3,),
+        fsq_levels=(8, 5, 5, 5), dropout=0.0,
+        refiner_base_channels=4, refiner_depth=2,
+    )
+    mel = jnp.zeros((1, 32, MEL), jnp.float32)
+    params = gen.init(jax.random.key(0), mel, jnp.full((1,), 32, jnp.int32))
+    out = str(tmp_path_factory.mktemp("lm_codec"))
+    export_preencoder(gen, params, out, buckets=(64, 128),
+                      config_dict={"mel_channels": MEL}, verify=False)
+    return out
+
+
+@pytest.fixture(scope="module")
+def server(lm_run, codec_dir):
+    from mqgan_tpu.deploy.http_lm import LMHTTPServer, LMHTTPService
+
+    service = LMHTTPService(lm_run[0], codec_dir, length_grid=32,
+                            max_length=256)
+    with LMHTTPServer(service, port=0) as srv:
+        yield srv
+
+
+def _generate(url, spec, expect_npz=False):
+    req = urllib.request.Request(
+        url + "/generate", data=json.dumps(spec).encode(), method="POST")
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        body = resp.read()
+    return np.load(io.BytesIO(body), allow_pickle=False)
+
+
+def test_lm_health(server):
+    with urllib.request.urlopen(server.url + "/healthz", timeout=60) as r:
+        health = json.loads(r.read())
+    assert health["ok"] and health["vocab_size"] == VOCAB
+    assert health["has_codec"] and health["codebook_size"] == 1000
+
+
+def test_lm_generate_matches_direct_sampler(server, lm_run):
+    from mqgan_tpu.models.lm_sampling import generate_tokens
+
+    _, model, params = lm_run
+    out = _generate(server.url, {"genre": 1, "length": 40, "seed": 7,
+                                 "temperature": 0.9, "top_k": 8})
+    assert out.shape == (1, 40) and out.dtype == np.int32
+    # same seed -> same tokens; the grid pads sampling to 64 then trims
+    direct = generate_tokens(
+        model, params, jnp.asarray([1], jnp.int32), jax.random.key(7),
+        max_len=64, temperature=0.9, top_k=8, bos_id=1,
+        forbidden_tokens=server.service.forbidden)
+    np.testing.assert_array_equal(out[0], np.asarray(direct)[0, :40])
+    # specials never sampled (pad/BOS/EOS + ids past the codec codebook)
+    assert not np.isin(out, server.service.forbidden).any()
+    # a different seed actually changes the sample
+    out2 = _generate(server.url, {"genre": 1, "length": 40, "seed": 8,
+                                  "temperature": 0.9, "top_k": 8})
+    assert not np.array_equal(out, out2)
+
+
+def test_lm_generate_batch_and_decode(server):
+    out = _generate(server.url, {"genre": 0, "length": 33, "n": 3,
+                                 "seed": 5, "decode": True})
+    tokens, mel = out["tokens"], out["mel"]
+    assert tokens.shape == (3, 33)
+    assert mel.shape == (3, 33, MEL) and np.isfinite(mel).all()
+    # batched rows are independent samples
+    assert not np.array_equal(tokens[0], tokens[1])
+
+
+def test_lm_prompt_continuation(server, lm_run):
+    from mqgan_tpu.models.lm_sampling import generate_tokens
+
+    _, model, params = lm_run
+    prompt = [5, 9, 2, 44]
+    out = _generate(server.url, {"genre": 2, "length": 32, "seed": 11,
+                                 "prompt_tokens": prompt})
+    direct = generate_tokens(
+        model, params, jnp.asarray([2], jnp.int32), jax.random.key(11),
+        max_len=32, bos_id=1, prompt=jnp.asarray([prompt], jnp.int32),
+        forbidden_tokens=server.service.forbidden)
+    np.testing.assert_array_equal(out[0], np.asarray(direct)[0])
+
+
+def test_lm_validation_errors(server, lm_run):
+    def expect(spec, code):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _generate(server.url, spec)
+        assert ei.value.code == code, (spec, ei.value.code)
+
+    expect({"genre": 99, "length": 10}, 400)       # bad genre
+    expect({"genre": 0, "length": 100000}, 413)    # over max_length
+    expect({"genre": 0, "length": 10, "n": 99}, 400)
+    expect({"length": 10}, 400)                    # missing genre
+    expect({"genre": 0, "length": 10,
+            "prompt_tokens": [0, VOCAB + 5]}, 400)  # prompt outside vocab
+
+    # decode without a codec -> 400 (service without codec_dir)
+    from mqgan_tpu.deploy.http_lm import LMHTTPServer, LMHTTPService
+
+    service = LMHTTPService(lm_run[0], None, length_grid=32, max_length=64)
+    with LMHTTPServer(service, port=0) as srv:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _generate(srv.url, {"genre": 0, "length": 8, "decode": True})
+        assert ei.value.code == 400
+        # and the no-codec forbidden set is just pad+BOS
+        assert service.forbidden == (0, 1)
