@@ -438,6 +438,53 @@ def bench_lm_generate(b: int = 64, gen_len: int = 512):
     }
 
 
+def bench_lm_generate_served(b: int = 64, gen_len: int = 512):
+    """Config 7s: the EXPORTED sampler's program (generate_tokens_served,
+    deploy/export_lm.py) at the same flagship dims / controls as config 7
+    — the cost of making every sampling control a traced runtime argument
+    (always-on dynamic top-k AND nucleus thresholds = two sorts per step
+    instead of config 7's one static top-k sort; prompt bucket P=1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mqgan_tpu.models.lm_sampling import generate_tokens_served
+    from mqgan_tpu.models.music_lstm import MusicLSTM
+
+    vocab = 1003
+    model = MusicLSTM(vocab_size=vocab, num_genres=10, dtype=jnp.bfloat16)
+    genres = jnp.zeros((b,), jnp.int32)
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((b, 8), jnp.int32), genres)["params"]
+    mask = np.ones((vocab,), bool)
+    mask[[0, 1, 2]] = False
+    mask = jnp.asarray(mask)
+    prompt = jnp.zeros((b, 1), jnp.int32)
+
+    @jax.jit
+    def generate(seed):
+        toks = generate_tokens_served(
+            model, params, genres, seed, prompt, jnp.int32(0),
+            jnp.float32(1.0), jnp.int32(64), jnp.float32(0.0), mask,
+            max_len=gen_len)
+        return toks, jnp.sum(toks)
+
+    seeds = [jnp.int32(100 + i) for i in range(ITERS + 2)]
+    for s in seeds[ITERS:]:  # compile + warm with distinct seeds
+        float(generate(s)[1])
+    t0 = time.perf_counter()
+    outs = [generate(seeds[i]) for i in range(ITERS)]
+    for o in outs:
+        float(o[1])
+    per = (time.perf_counter() - t0) / ITERS
+    return {
+        "config": f"7s_lm_generate_served_b{b}",
+        "batch": b, "gen_len": gen_len, "top_k": 64,
+        "ms_total": round(per * 1000, 1),
+        "ms_per_token_step": round(per * 1000 / gen_len, 3),
+        "tokens_per_sec": round(b * gen_len / per, 1),
+    }
+
+
 def bench_vocoder_train(adversarial: bool = False):
     """Vocoder (ISTFTNetGenerator, models/istft_vocoder.py) train-step
     throughput — flagship-shaped: 128 mels, hop 512, upsample 8x8,
@@ -683,6 +730,8 @@ BENCHES = {
     "5p": lambda: bench_directory_scale(poly_mixers=True),
     "7": bench_lm_generate,
     "7b": lambda: bench_lm_generate(b=1),
+    "7s": bench_lm_generate_served,
+    "7sb": lambda: bench_lm_generate_served(b=1),
     "8": bench_vocoder_train,
     "8a": lambda: bench_vocoder_train(adversarial=True),
 }
@@ -695,7 +744,7 @@ def main():
                    choices=["1", "2", "3", "3b", "3ba", "3bf", "3bc",
                             "3be", "4",
                             "4b", "4bf", "4br", "4ba", "5", "5p", "6", "6c",
-                            "7", "7b", "8", "8a"])
+                            "7", "7b", "7s", "7sb", "8", "8a"])
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results.json"))
     args = p.parse_args()

@@ -28,6 +28,10 @@ Design notes:
 
 CLI:  python -m mqgan_tpu.deploy.http_lm --lm_run RUN_DIR
       [--codec_dir EXPORT] [--port 8767] [--max_length 8192]
+  or  --lm_export DIR instead of --lm_run: serve an AOT-exported LM
+      artifact (deploy/export_lm.py) — generation lengths then ride the
+      exported (prompt, generation) buckets instead of --length_grid,
+      and the host needs no checkpoint or model code.
 """
 
 from __future__ import annotations
@@ -46,29 +50,34 @@ MAX_SAMPLES = 16
 
 
 class LMHTTPService:
-    def __init__(self, lm_run: str, codec_dir: Optional[str] = None,
-                 *, length_grid: int = 128, max_length: int = 8192):
-        import jax
-        import jax.numpy as jnp
+    def __init__(self, lm_run: Optional[str] = None,
+                 codec_dir: Optional[str] = None,
+                 *, length_grid: int = 128, max_length: int = 8192,
+                 lm_export: Optional[str] = None):
+        """Serve from a training run dir (checkpoint + flax model) OR
+        from an AOT-exported artifact dir (deploy/export_lm.py) — the
+        latter needs no checkpoint or model code on the serving host."""
+        if (lm_run is None) == (lm_export is None):
+            raise ValueError("pass exactly one of lm_run / lm_export")
+        self.exported = None
+        if lm_export is not None:
+            from mqgan_tpu.deploy.export_lm import ExportedMusicLM
 
-        from mqgan_tpu.models.music_lstm import MusicLSTM
-        from mqgan_tpu.utils.checkpoint import load_pretrained_generator
+            self.exported = ExportedMusicLM(lm_export)
+            m = self.exported.manifest
+            self.lm_args = {
+                "vocab_size": m["vocab_size"],
+                "num_genres": m["num_genres"],
+                "bos_id": m["bos_id"], "pad_id": m["pad_id"],
+            }
+            # exported programs exist only up to the largest gen bucket
+            max_length = min(max_length, self.exported.gen_buckets[-1])
+        else:
+            from mqgan_tpu.deploy.export_lm import load_lm_from_run
 
-        with open(os.path.join(lm_run, "best.json")) as f:
-            best = json.load(f)
-        a = best["args"]
-        self.lm_args = a
-        self.model = MusicLSTM(
-            vocab_size=a["vocab_size"], num_genres=a["num_genres"],
-            emb_dim=a["emb_dim"], lstm_hid=a["lstm_hid"],
-            lstm_layers=a["lstm_layers"], pad_id=a["pad_id"], dropout=0.0,
-        )
-        tok0 = jnp.zeros((1, 4), jnp.int32)
-        template = jax.jit(self.model.init)(
-            jax.random.key(0), tok0, jnp.zeros((1,), jnp.int32), None
-        )["params"]
-        self.params = load_pretrained_generator(
-            best["path"], (), 0, template=template)
+            self.model, self.params, self.lm_args = load_lm_from_run(
+                lm_run)
+        a = self.lm_args
         self.codec = None
         if codec_dir:
             from mqgan_tpu.deploy.runtime import ExportedPreEncoder
@@ -95,6 +104,8 @@ class LMHTTPService:
             "pad_id": self.lm_args["pad_id"],
             "max_length": self.max_length,
             "has_codec": self.codec is not None,
+            "backend": "exported" if self.exported is not None
+                       else "checkpoint",
         }
         if self.codec is not None:
             out["mel_channels"] = self.codec.mel_channels
@@ -126,7 +137,7 @@ class LMHTTPService:
         if decode and self.codec is None:
             raise _HTTPError(400, "decode requested but the server has no "
                                   "--codec_dir attached")
-        prompt = None
+        prompt_np = None
         if spec.get("prompt_tokens"):
             try:
                 prompt_np = np.asarray(spec["prompt_tokens"], np.int32)
@@ -139,23 +150,43 @@ class LMHTTPService:
             if not ((0 <= prompt_np) &
                     (prompt_np < self.lm_args["vocab_size"])).all():
                 raise _HTTPError(400, "prompt_tokens outside the vocab")
-            prompt = jnp.tile(prompt_np[None], (n, 1))
+            if (self.exported is not None and prompt_np.size
+                    > self.exported.prompt_buckets[-1]):
+                raise _HTTPError(
+                    413, f"prompt length {prompt_np.size} exceeds the "
+                         f"largest exported prompt bucket "
+                         f"{self.exported.prompt_buckets[-1]}")
         seed = spec.get("seed")
         if seed is None:
             seed = int.from_bytes(os.urandom(4), "little")
-        # bound the compiled-shape set: sample on a length grid, trim after
-        padded = -(-length // self.length_grid) * self.length_grid
+        temperature = float(spec.get("temperature", 1.0))
+        top_k = int(spec.get("top_k", 0))
+        top_p = float(spec.get("top_p", 0.0))
         with self._lock:
-            tokens = generate_tokens(
-                self.model, self.params, jnp.full((n,), genre, jnp.int32),
-                jax.random.key(int(seed)), max_len=padded,
-                temperature=float(spec.get("temperature", 1.0)),
-                top_k=int(spec.get("top_k", 0)),
-                top_p=float(spec.get("top_p", 0.0)),
-                bos_id=self.lm_args["bos_id"], prompt=prompt,
-                forbidden_tokens=self.forbidden,
-            )
-            tokens = np.asarray(tokens)[:, :length].astype(np.int32)
+            if self.exported is not None:
+                tokens = self.exported.generate(
+                    np.full((n,), genre, np.int32), length,
+                    seed=int(np.uint32(seed).astype(np.int32)),
+                    temperature=temperature, top_k=top_k, top_p=top_p,
+                    prompt=(None if prompt_np is None
+                            else np.tile(prompt_np[None], (n, 1))),
+                    forbidden=self.forbidden,
+                ).astype(np.int32)
+            else:
+                prompt = (None if prompt_np is None
+                          else jnp.tile(prompt_np[None], (n, 1)))
+                # bound the compiled-shape set: sample on a length grid,
+                # trim after
+                padded = -(-length // self.length_grid) * self.length_grid
+                tokens = generate_tokens(
+                    self.model, self.params,
+                    jnp.full((n,), genre, jnp.int32),
+                    jax.random.key(int(seed)), max_len=padded,
+                    temperature=temperature, top_k=top_k, top_p=top_p,
+                    bos_id=self.lm_args["bos_id"], prompt=prompt,
+                    forbidden_tokens=self.forbidden,
+                )
+                tokens = np.asarray(tokens)[:, :length].astype(np.int32)
             if decode:
                 mel = self.codec.decode(tokens)
                 return (_npz_bytes(tokens=tokens, mel=mel),
@@ -256,8 +287,12 @@ def main(argv=None):
     p = argparse.ArgumentParser(
         description="Serve token-LM generation (and codec decode) over "
                     "HTTP.")
-    p.add_argument("--lm_run", required=True,
-                   help="lstm_trainer out_dir (reads best.json + ckpt)")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--lm_run",
+                     help="lstm_trainer out_dir (reads best.json + ckpt)")
+    src.add_argument("--lm_export",
+                     help="AOT-exported LM dir (deploy.export_lm) — no "
+                          "checkpoint needed on the serving host")
     p.add_argument("--codec_dir", default=None,
                    help="exported codec dir: enables decode=true responses "
                         "and masks undecodable specials out of sampling")
@@ -269,10 +304,11 @@ def main(argv=None):
 
     service = LMHTTPService(args.lm_run, args.codec_dir,
                             length_grid=args.length_grid,
-                            max_length=args.max_length)
+                            max_length=args.max_length,
+                            lm_export=args.lm_export)
     server = LMHTTPServer(service, host=args.host, port=args.port)
-    print(f"serving LM generation from {args.lm_run} on {server.url} "
-          f"(codec: {args.codec_dir or 'none'})")
+    print(f"serving LM generation from {args.lm_run or args.lm_export} "
+          f"on {server.url} (codec: {args.codec_dir or 'none'})")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

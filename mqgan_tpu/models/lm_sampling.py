@@ -114,6 +114,119 @@ def generate_tokens(
     return jnp.transpose(tokens, (1, 0))  # (B, max_len)
 
 
+def generate_tokens_served(
+    model: MusicLSTM,
+    params,  # params['params'] tree of MusicLSTM
+    genre_ids: jax.Array,  # (B,)
+    seed: jax.Array,  # () int32 — PRNG seed (key built in-graph)
+    prompt: jax.Array,  # (B, P) int32, P >= 1 static (pad rows arbitrary)
+    prompt_len: jax.Array,  # () int32 in [0, P]; 0 = unconditional
+    temperature: jax.Array,  # () f32
+    top_k: jax.Array,  # () int32; 0 disables
+    top_p: jax.Array,  # () f32; 0 or >=1 disables
+    vocab_mask: jax.Array,  # (V,) bool; True = sampleable
+    *,
+    max_len: int,
+    bos_id: int = 1,
+) -> jax.Array:
+    """`generate_tokens` with every sampling control a TRACED value — the
+    AOT-export variant (deploy/export_lm.py): one serialized program per
+    (prompt-bucket P, generation-bucket max_len) serves any temperature /
+    top-k / top-p / prompt length / forbidden-token set.
+
+    Token-exact with `generate_tokens` for matching arguments (pinned in
+    tests/test_lm_sampling.py): same per-step recurrence, same sampling
+    keys (`split(key(seed), max_len)` indexed by the post-prompt step),
+    and the same filter math — the dynamic top-k/top-p gates reduce to
+    the static versions' exact thresholds, and disabled filters become
+    `-inf` thresholds (no-ops) instead of skipped branches.
+
+    Returns the (B, max_len) continuation AFTER the prompt, like
+    `generate_tokens(prompt=...)`.
+    """
+    b = genre_ids.shape[0]
+    p_bucket = prompt.shape[1]
+    v = model.vocab_size
+    genre_vec = jnp.take(params["genre_emb"]["embedding"], genre_ids, axis=0)
+    cell = _cell(model)
+    carries = [
+        cell.initialize_carry(jax.random.key(0), (b, model.emb_dim))
+        for _ in range(model.lstm_layers)
+    ]
+    keys = jax.random.split(jax.random.key(seed), max_len)
+    keys_data = jax.random.key_data(keys)  # (max_len, ...) gatherable
+    prompt = prompt.astype(jnp.int32)
+    prompt_len = jnp.clip(prompt_len.astype(jnp.int32), 0, p_bucket)
+    temperature = jnp.maximum(temperature.astype(jnp.float32), 1e-6)
+    top_k = jnp.clip(top_k.astype(jnp.int32), 0, v)
+    top_p = top_p.astype(jnp.float32)
+
+    def sample(logits, key):
+        logits = logits.astype(jnp.float32) / temperature
+        logits = jnp.where(vocab_mask[None, :], logits, -jnp.inf)
+        # dynamic top-k: ascending sort, threshold at rank V-k; k=0 means
+        # a -inf threshold (keep everything)
+        srt = jnp.sort(logits, axis=-1)
+        idx = jnp.full((logits.shape[0], 1), v, jnp.int32) - jnp.maximum(
+            top_k, 1)
+        kth_k = jnp.take_along_axis(srt, idx, axis=-1)
+        kth_k = jnp.where(top_k > 0, kth_k, -jnp.inf)
+        logits = jnp.where(logits < kth_k, -jnp.inf, logits)
+        # dynamic nucleus: keep the smallest descending-prob prefix whose
+        # mass-before is < top_p (top-1 always stays); re-sorts AFTER the
+        # top-k filter exactly like generate_tokens
+        desc = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(desc, axis=-1)
+        before = jnp.cumsum(probs, axis=-1) - probs
+        kept = jnp.where(before < top_p, desc, jnp.inf)
+        kth_p = jnp.min(kept, axis=-1, keepdims=True)
+        enabled = (top_p > 0.0) & (top_p < 1.0)
+        kth_p = jnp.where(enabled, kth_p, -jnp.inf)
+        logits = jnp.where(logits < kth_p, -jnp.inf, logits)
+        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+    def body(carry, t):
+        carries, token = carry
+        carries, logits = _step_logits(model, params, carries, token,
+                                       genre_vec)
+        # sampling key by post-prompt position: step t samples token
+        # number (t - prompt_len); prompt-region draws are discarded
+        sample_idx = jnp.clip(t - prompt_len, 0, max_len - 1)
+        key_t = jax.random.wrap_key_data(keys_data[sample_idx])
+        nxt = sample(logits, key_t)
+        # next input: teacher-force prompt[t] while t+1 <= prompt_len
+        p_idx = jnp.clip(t, 0, p_bucket - 1)
+        in_next = jnp.where(t + 1 <= prompt_len, prompt[:, p_idx], nxt)
+        return (carries, in_next), nxt
+
+    total = p_bucket + max_len
+    token0 = jnp.full((b,), bos_id, jnp.int32)
+    (_, _), outs = jax.lax.scan(body, (carries, token0),
+                                jnp.arange(total, dtype=jnp.int32))
+    # continuation = samples at steps [prompt_len, prompt_len + max_len)
+    outs = jax.lax.dynamic_slice_in_dim(outs, prompt_len, max_len, axis=0)
+    return jnp.transpose(outs, (1, 0))  # (B, max_len)
+
+
+def score_tokens(model: MusicLSTM, params, tokens, genre_ids):
+    """Per-row next-token NLL sums over a BOS-prepended token batch — the
+    exported scoring head (deploy/export_lm.py). Mirrors the trainer's
+    loss exactly (train/lstm_trainer.py loss_fn: inputs tokens[:, :-1],
+    targets tokens[:, 1:], pad targets excluded) but reduced per row, so
+    callers can aggregate perplexity over any grouping.
+
+    Returns (nll_sum (B,), n_valid (B,)) in fp32.
+    """
+    inp, tgt = tokens[:, :-1], tokens[:, 1:]
+    logits = model.apply({"params": params}, inp, genre_ids, None,
+                         deterministic=True)
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+    valid = (tgt != model.pad_id).astype(jnp.float32)
+    return jnp.sum(nll * valid, axis=1), jnp.sum(valid, axis=1)
+
+
 def greedy_next_logits(model: MusicLSTM, params, tokens, genre_ids):
     """Stepwise logits for a full prefix — test utility proving the sampler's
     recurrence matches the batch __call__."""

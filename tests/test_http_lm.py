@@ -147,3 +147,68 @@ def test_lm_validation_errors(server, lm_run):
         assert ei.value.code == 400
         # and the no-codec forbidden set is just pad+BOS
         assert service.forbidden == (0, 1)
+
+
+@pytest.fixture(scope="module")
+def lm_export(lm_run, tmp_path_factory):
+    from mqgan_tpu.deploy.export_lm import export_music_lm
+
+    _, model, params = lm_run
+    out = str(tmp_path_factory.mktemp("lm_export_http"))
+    export_music_lm(model, params, out, gen_buckets=(32, 64),
+                    prompt_buckets=(1, 8), score_buckets=(32,),
+                    bos_id=1, lm_args=LM_ARGS, verify=False)
+    return out
+
+
+def test_lm_exported_backend(lm_export, lm_run, codec_dir):
+    """--lm_export serving: same wire protocol, tokens exact vs the
+    exported runtime (and hence vs the in-process sampler at the
+    covering bucket), codec decode intact."""
+    from mqgan_tpu.deploy.export_lm import ExportedMusicLM
+    from mqgan_tpu.deploy.http_lm import LMHTTPServer, LMHTTPService
+    from mqgan_tpu.models.lm_sampling import generate_tokens
+
+    _, model, params = lm_run
+    service = LMHTTPService(codec_dir=codec_dir, lm_export=lm_export)
+    # max_length clipped to the largest exported gen bucket
+    assert service.max_length == 64
+    with LMHTTPServer(service, port=0) as srv:
+        with urllib.request.urlopen(srv.url + "/healthz", timeout=60) as r:
+            health = json.loads(r.read())
+        assert health["backend"] == "exported"
+        assert health["vocab_size"] == VOCAB and health["has_codec"]
+
+        out = _generate(srv.url, {"genre": 1, "length": 20, "seed": 7,
+                                  "temperature": 0.9, "top_k": 8})
+        direct = generate_tokens(  # covering bucket 32, trimmed
+            model, params, jnp.asarray([1], jnp.int32), jax.random.key(7),
+            max_len=32, temperature=0.9, top_k=8, bos_id=1,
+            forbidden_tokens=service.forbidden)
+        np.testing.assert_array_equal(out[0], np.asarray(direct)[0, :20])
+
+        npz = _generate(srv.url, {"genre": 0, "length": 33, "n": 2,
+                                  "seed": 5, "decode": True})
+        assert npz["tokens"].shape == (2, 33)
+        assert npz["mel"].shape == (2, 33, MEL)
+        assert np.isfinite(npz["mel"]).all()
+
+        prompt = [5, 9, 2, 44]
+        out_p = _generate(srv.url, {"genre": 2, "length": 16, "seed": 11,
+                                    "prompt_tokens": prompt})
+        rt = ExportedMusicLM(lm_export)
+        ref = rt.generate(np.asarray([2], np.int32), 16, seed=11,
+                          prompt=np.asarray([prompt], np.int32),
+                          forbidden=service.forbidden)
+        np.testing.assert_array_equal(out_p, ref)
+
+        # over-bucket prompt -> 413
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _generate(srv.url, {"genre": 0, "length": 8,
+                                "prompt_tokens": list(range(2, 12))})
+        assert ei.value.code == 413
+
+    with pytest.raises(ValueError, match="exactly one"):
+        LMHTTPService(lm_run[0], lm_export=lm_export)
+    with pytest.raises(ValueError, match="exactly one"):
+        LMHTTPService()

@@ -7,7 +7,9 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from mqgan_tpu.models.lm_sampling import generate_tokens, greedy_next_logits
+from mqgan_tpu.models.lm_sampling import (generate_tokens,
+                                          generate_tokens_served,
+                                          greedy_next_logits, score_tokens)
 from mqgan_tpu.models.music_lstm import MusicLSTM
 
 V, G = 30, 3
@@ -101,3 +103,92 @@ def test_prompt_continuation(model_and_params, rng):
     out2 = generate_tokens(model, params, genres, jax.random.key(3),
                            max_len=10, prompt=prompt, top_k=1)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+
+
+def _served(model, params, genres, seed, *, max_len, prompt=None,
+            prompt_len=None, temperature=1.0, top_k=0, top_p=0.0,
+            forbidden=(), p_bucket=None):
+    """Call the dynamic-arg sampler the way the exported runtime does."""
+    b = genres.shape[0]
+    if prompt is None:
+        prompt_arr = jnp.zeros((b, p_bucket or 1), jnp.int32)
+        plen = 0
+    else:
+        p_bucket = p_bucket or prompt.shape[1]
+        pad = p_bucket - prompt.shape[1]
+        prompt_arr = jnp.pad(prompt.astype(jnp.int32), ((0, 0), (0, pad)))
+        plen = prompt.shape[1] if prompt_len is None else prompt_len
+    mask = np.ones((V,), bool)
+    for t in forbidden:
+        mask[t] = False
+    return generate_tokens_served(
+        model, params, genres, jnp.int32(seed), prompt_arr,
+        jnp.int32(plen), jnp.float32(temperature), jnp.int32(top_k),
+        jnp.float32(top_p), jnp.asarray(mask), max_len=max_len)
+
+
+def test_served_matches_static_unconditional(model_and_params):
+    """The dynamic-argument (exportable) sampler is token-exact with
+    generate_tokens: same seed, same controls -> same stream."""
+    model, params = model_and_params
+    genres = jnp.asarray([0, 1, 2])
+    for kwargs in (
+        dict(temperature=1.0),
+        dict(temperature=0.7, top_k=5),
+        dict(temperature=1.3, top_p=0.9),
+        dict(temperature=0.9, top_k=8, top_p=0.8),
+        dict(temperature=1.0, forbidden=(0, 1, 2, V - 1)),
+    ):
+        forbidden = kwargs.pop("forbidden", ())
+        ref = generate_tokens(model, params, genres, jax.random.key(11),
+                              max_len=20, forbidden_tokens=forbidden,
+                              **kwargs)
+        out = _served(model, params, genres, 11, max_len=20,
+                      forbidden=forbidden, **kwargs)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref),
+                                      err_msg=str(kwargs))
+
+
+def test_served_matches_static_with_prompt(model_and_params, rng):
+    """Prompt continuation parity, including a prompt bucket WIDER than
+    the actual prompt (the runtime pads prompts up to an exported
+    bucket; prompt_len masks the tail)."""
+    model, params = model_and_params
+    genres = jnp.asarray([1, 0])
+    prompt = jnp.asarray(rng.integers(1, V, (2, 5)))
+    ref = generate_tokens(model, params, genres, jax.random.key(5),
+                          max_len=12, prompt=prompt, temperature=0.8,
+                          top_k=6)
+    exact = _served(model, params, genres, 5, max_len=12, prompt=prompt,
+                    temperature=0.8, top_k=6)
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(ref))
+    padded = _served(model, params, genres, 5, max_len=12, prompt=prompt,
+                     temperature=0.8, top_k=6, p_bucket=9)
+    np.testing.assert_array_equal(np.asarray(padded), np.asarray(ref))
+
+
+def test_served_vocab_mask_restricts_support(model_and_params):
+    model, params = model_and_params
+    genres = jnp.asarray([0, 1])
+    forbidden = tuple(range(0, V, 2))  # ban every even token
+    out = np.asarray(_served(model, params, genres, 3, max_len=25,
+                             forbidden=forbidden))
+    assert (out % 2 == 1).all()
+
+
+def test_score_tokens_matches_masked_ce(model_and_params, rng):
+    """The exported scoring head reproduces the trainer's masked CE when
+    aggregated over the batch."""
+    from mqgan_tpu.models.music_lstm import masked_ce_loss
+
+    model, params = model_and_params
+    tokens = jnp.asarray(rng.integers(1, V, (3, 9)))
+    tokens = tokens.at[1, 6:].set(0).at[2, 4:].set(0)  # right-pad rows
+    genres = jnp.asarray([0, 1, 2])
+    nll, n = score_tokens(model, params, tokens, genres)
+    assert nll.shape == (3,) and n.shape == (3,)
+    logits = model.apply({"params": params}, tokens[:, :-1], genres, None)
+    ref_loss, ref_n = masked_ce_loss(logits, tokens[:, 1:], model.pad_id)
+    np.testing.assert_allclose(float(nll.sum() / n.sum()), float(ref_loss),
+                               rtol=1e-6)
+    assert float(n.sum()) == float(ref_n)
