@@ -390,6 +390,104 @@ def bench_token_lm(hoisted: bool = True):
     }
 
 
+def bench_token_transformer(b: int = 32, l: int = 512):
+    """Config 6t: transformer token-LM train step (models/
+    token_transformer.py; emb 512, 6 layers, 8 heads, mlp x4 ~= 19.4M
+    params vs the LSTM's 16.4M) at the SAME batch/length/precision/
+    optimizer as config 6 — the MXU-parallel architecture A/B against
+    the recurrence-bound LSTM."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mqgan_tpu.models.music_lstm import masked_ce_loss
+    from mqgan_tpu.models.token_transformer import MusicTransformer
+
+    vocab = 1003
+    model = MusicTransformer(vocab_size=vocab, num_genres=10,
+                             dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    toks = [jnp.asarray(rng.integers(1, 1000, (b, l)).astype(np.int32))
+            for _ in range(ITERS + 2)]
+    genres = jnp.asarray(rng.integers(0, 10, (b,)).astype(np.int32))
+    params = jax.jit(model.init)(jax.random.key(0), toks[0][:, :-1], genres)
+    n_params = sum(int(np.prod(np.shape(x)))
+                   for x in jax.tree.leaves(params))
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(params)
+
+    def step(params, opt_state, tokens):
+        def loss_fn(p):
+            logits = model.apply(p, tokens[:, :-1], genres)
+            loss, _ = masked_ce_loss(logits, tokens[:, 1:])
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    compiled = jax.jit(step, donate_argnums=(0, 1)).lower(
+        params, opt_state, toks[0]).compile()
+    params, opt_state, loss = compiled(params, opt_state, toks[-1])
+    float(loss)
+    t0 = time.perf_counter()
+    losses = []
+    for i in range(ITERS):
+        params, opt_state, loss = compiled(params, opt_state, toks[i])
+        losses.append(loss)
+    for x in losses:
+        float(x)
+    per = (time.perf_counter() - t0) / ITERS
+    return {
+        "config": "6t_token_transformer_train",
+        "batch": b, "seq_len": l, "params_m": round(n_params / 1e6, 1),
+        "ms_per_step": round(per * 1000, 1),
+        "tokens_per_sec": round(b * (l - 1) / per, 1),
+    }
+
+
+def bench_lm_generate_transformer(b: int = 64, gen_len: int = 512):
+    """Config 7t: transformer token-LM GENERATION throughput at the same
+    controls as config 7 (temperature 1.0, top-k 64, specials forbidden):
+    one MXU prefill of the BOS + a KV-cache lax.scan decode
+    (generate_tokens_transformer)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mqgan_tpu.models.lm_sampling import generate_tokens_transformer
+    from mqgan_tpu.models.token_transformer import MusicTransformer
+
+    vocab = 1003
+    model = MusicTransformer(vocab_size=vocab, num_genres=10,
+                             dtype=jnp.bfloat16)
+    genres = jnp.zeros((b,), jnp.int32)
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((b, 8), jnp.int32), genres)["params"]
+
+    @jax.jit
+    def generate(rng):
+        toks = generate_tokens_transformer(
+            model, params, genres, rng, gen_len, temperature=1.0,
+            top_k=64, forbidden_tokens=(0, 1, 2))
+        return toks, jnp.sum(toks)
+
+    keys = jax.random.split(jax.random.key(7), ITERS + 2)
+    for k in keys[ITERS:]:  # compile + warm with distinct keys
+        float(generate(k)[1])
+    t0 = time.perf_counter()
+    outs = [generate(keys[i]) for i in range(ITERS)]
+    for o in outs:
+        float(o[1])
+    per = (time.perf_counter() - t0) / ITERS
+    return {
+        "config": f"7t_lm_generate_transformer_b{b}",
+        "batch": b, "gen_len": gen_len, "top_k": 64,
+        "ms_total": round(per * 1000, 1),
+        "ms_per_token_step": round(per * 1000 / gen_len, 3),
+        "tokens_per_sec": round(b * gen_len / per, 1),
+    }
+
+
 def bench_lm_generate(b: int = 64, gen_len: int = 512):
     """Config 7: token-LM autoregressive GENERATION throughput (sampling).
 
@@ -727,6 +825,9 @@ BENCHES = {
     "5": bench_directory_scale,
     "6": bench_token_lm,
     "6c": lambda: bench_token_lm(hoisted=False),
+    "6t": bench_token_transformer,
+    "7t": bench_lm_generate_transformer,
+    "7tb": lambda: bench_lm_generate_transformer(b=1),
     "5p": lambda: bench_directory_scale(poly_mixers=True),
     "7": bench_lm_generate,
     "7b": lambda: bench_lm_generate(b=1),
@@ -744,7 +845,8 @@ def main():
                    choices=["1", "2", "3", "3b", "3ba", "3bf", "3bc",
                             "3be", "4",
                             "4b", "4bf", "4br", "4ba", "5", "5p", "6", "6c",
-                            "7", "7b", "7s", "7sb", "8", "8a"])
+                            "6t", "7", "7b", "7s", "7sb", "7t", "7tb",
+                            "8", "8a"])
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results.json"))
     args = p.parse_args()

@@ -31,4 +31,10 @@ def __getattr__(name):
     if name == "TPUSTFT" or name == "TorchSTFT":
         from mqgan_tpu.signal.stft import TPUSTFT
         return TPUSTFT
+    if name == "MusicLSTM":
+        from mqgan_tpu.models.music_lstm import MusicLSTM
+        return MusicLSTM
+    if name == "MusicTransformer":
+        from mqgan_tpu.models.token_transformer import MusicTransformer
+        return MusicTransformer
     raise AttributeError(f"module 'mqgan_tpu' has no attribute {name!r}")

@@ -35,6 +35,39 @@ def _step_logits(model: MusicLSTM, params, carries, token, genre_vec):
     return new_carries, logits
 
 
+def sample_filtered(
+    logits: jax.Array,  # (B, V)
+    key: jax.Array,
+    *,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
+    forbid: jax.Array | None = None,  # (F,) int32 ids masked to -inf
+) -> jax.Array:
+    """Temperature / forbid / top-k / top-p filtering + categorical draw —
+    the STATIC-control sampling core shared by `generate_tokens` (LSTM)
+    and `generate_tokens_transformer`. top_k keeps the k highest logits;
+    top_p (nucleus) keeps the smallest descending-prob prefix whose mass
+    reaches p (0 or >=1 disables); both compose (top_k first)."""
+    logits = logits.astype(jnp.float32) / max(temperature, 1e-6)
+    if forbid is not None:
+        logits = logits.at[:, forbid].set(-jnp.inf)
+    if top_k and top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p and 0.0 < top_p < 1.0:
+        # nucleus: keep the smallest descending-prob prefix reaching
+        # top_p of the mass (a token stays iff the mass BEFORE it is
+        # still < top_p, so the top-1 token always stays)
+        desc = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(desc, axis=-1)
+        before = jnp.cumsum(probs, axis=-1) - probs
+        kept = jnp.where(before < top_p, desc, jnp.inf)
+        kth = jnp.min(kept, axis=-1, keepdims=True)
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+
+
 def generate_tokens(
     model: MusicLSTM,
     params,  # params['params'] tree of MusicLSTM
@@ -85,23 +118,8 @@ def generate_tokens(
                          jnp.int32) if forbidden_tokens else None
 
     def sample(logits, key):
-        logits = logits.astype(jnp.float32) / max(temperature, 1e-6)
-        if forbid is not None:
-            logits = logits.at[:, forbid].set(-jnp.inf)
-        if top_k and top_k > 0:
-            kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
-            logits = jnp.where(logits < kth, -jnp.inf, logits)
-        if top_p and 0.0 < top_p < 1.0:
-            # nucleus: keep the smallest descending-prob prefix reaching
-            # top_p of the mass (a token stays iff the mass BEFORE it is
-            # still < top_p, so the top-1 token always stays)
-            desc = jnp.sort(logits, axis=-1)[:, ::-1]
-            probs = jax.nn.softmax(desc, axis=-1)
-            before = jnp.cumsum(probs, axis=-1) - probs
-            kept = jnp.where(before < top_p, desc, jnp.inf)
-            kth = jnp.min(kept, axis=-1, keepdims=True)
-            logits = jnp.where(logits < kth, -jnp.inf, logits)
-        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+        return sample_filtered(logits, key, temperature=temperature,
+                               top_k=top_k, top_p=top_p, forbid=forbid)
 
     def body(carry, key):
         carries, token = carry
@@ -206,6 +224,70 @@ def generate_tokens_served(
     # continuation = samples at steps [prompt_len, prompt_len + max_len)
     outs = jax.lax.dynamic_slice_in_dim(outs, prompt_len, max_len, axis=0)
     return jnp.transpose(outs, (1, 0))  # (B, max_len)
+
+
+def generate_tokens_transformer(
+    model,  # MusicTransformer
+    params,  # params['params'] tree of MusicTransformer
+    genre_ids: jax.Array,  # (B,)
+    rng: jax.Array,
+    max_len: int,
+    *,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 0.0,
+    bos_id: int = 1,
+    prompt: jax.Array | None = None,  # (B, P) optional token prefix
+    forbidden_tokens: tuple = (),
+) -> jax.Array:
+    """`generate_tokens` for the MusicTransformer: the prefix ([BOS] +
+    prompt) is prefilled in ONE batched MXU pass that populates every
+    layer's KV cache, then max_len tokens extend the cache one step at a
+    time under lax.scan. Same filter math as the LSTM sampler
+    (`sample_filtered`); returns (B, max_len) sampled tokens (excluding
+    BOS and prompt).
+
+    KV-cache equivalence to the batch forward is pinned by
+    tests/test_token_transformer.py (prefill+step logits == __call__)."""
+    from mqgan_tpu.models.token_transformer import MusicTransformer, init_cache
+
+    b = genre_ids.shape[0]
+    p_len = 0 if prompt is None else prompt.shape[1]
+    top_k = min(top_k, model.vocab_size) if top_k else 0
+    forbid = jnp.asarray(sorted(set(int(t) for t in forbidden_tokens)),
+                         jnp.int32) if forbidden_tokens else None
+
+    prefix = jnp.full((b, 1), bos_id, jnp.int32)
+    if prompt is not None:
+        prefix = jnp.concatenate([prefix, prompt.astype(jnp.int32)], axis=1)
+
+    # cache covers the prefix plus every step-fed token (the last sampled
+    # token is never fed back, hence the -1)
+    caches = init_cache(model, b, p_len + max_len,
+                        dtype=model.dtype or jnp.float32)
+    logits, caches = model.apply(
+        {"params": params}, prefix, genre_ids, caches,
+        method=MusicTransformer.prefill)
+
+    keys = jax.random.split(rng, max_len)
+    tok0 = sample_filtered(logits, keys[0], temperature=temperature,
+                           top_k=top_k, top_p=top_p, forbid=forbid)
+
+    def body(carry, key):
+        caches, token, idx = carry
+        logits, caches = model.apply(
+            {"params": params}, token, genre_ids, caches, idx,
+            method=MusicTransformer.step)
+        nxt = sample_filtered(logits, key, temperature=temperature,
+                              top_k=top_k, top_p=top_p, forbid=forbid)
+        return (caches, nxt, idx + 1), nxt
+
+    if max_len > 1:
+        (_, _, _), rest = jax.lax.scan(
+            body, (caches, tok0, jnp.int32(p_len + 1)), keys[1:])
+        rest = jnp.transpose(rest, (1, 0))  # (B, max_len - 1)
+        return jnp.concatenate([tok0[:, None], rest], axis=1)
+    return tok0[:, None]
 
 
 def score_tokens(model: MusicLSTM, params, tokens, genre_ids):

@@ -1,0 +1,263 @@
+"""Genre-conditioned causal Transformer token LM over FSQ token streams.
+
+Net-new model family (the reference's only token LM is the LSTM,
+/root/reference/train_music_lstm_v2.py:146-202). The LSTM's recurrence is
+irreducibly serial over time — on TPU it runs as a lax.scan whose body is
+a small VPU-bound matmul per step. A causal pre-LN transformer trains
+fully parallel over time: the whole sequence is a handful of large MXU
+matmuls, which is the TPU-first architecture for the same next-token
+workload. Conditioning semantics match MusicLSTM exactly (token embedding
+with a zeroed pad row + genre embedding broadcast-added,
+models/music_lstm.py:108-115), and ``__call__`` has the same signature,
+so the trainer, masked-CE loss, scoring, and checkpoint plumbing are
+shared between both architectures.
+
+Design notes (TPU-first):
+- rotary position embeddings (RoPE) on q/k — no learned position table,
+  so any bucket length compiles from the same params and the decode
+  cache stores *rotated* keys (steps never revisit old positions).
+- pre-LN residual blocks; softmax in fp32, everything else in the module
+  ``dtype`` (bf16 under --bf16).
+- decode path: ``prefill`` fills the KV cache for a whole prefix in one
+  batched pass (MXU), then ``step`` extends it one token at a time under
+  lax.scan (models/lm_sampling.py:generate_tokens_transformer).
+- right-padded batches need no attention pad mask: causal attention only
+  looks left, and with right padding every position left of a valid
+  token is valid; pad positions produce garbage that the masked CE
+  ignores (same argument as the LSTM, models/music_lstm.py:14-16).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Cache = Dict[str, jax.Array]  # {"k": (B, S, H, D), "v": (B, S, H, D)}
+
+
+def _rope_angles(positions: jax.Array, head_dim: int) -> Tuple[jax.Array, jax.Array]:
+    """cos/sin tables for RoPE: positions (...,) -> (..., head_dim//2)."""
+    half = head_dim // 2
+    freqs = 10000.0 ** (-jnp.arange(half, dtype=jnp.float32) / half)
+    ang = positions.astype(jnp.float32)[..., None] * freqs
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def _apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """Rotate pairs (x[..., :half], x[..., half:]) by the position angle.
+
+    x: (B, T, H, D); cos/sin: (T, D//2) broadcast over batch and heads.
+    """
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    cos = cos[None, :, None, :].astype(x.dtype)
+    sin = sin[None, :, None, :].astype(x.dtype)
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+
+
+class CausalSelfAttention(nn.Module):
+    """Multi-head causal self-attention with RoPE and a step/prefill KV
+    cache. Scores and softmax are computed in fp32."""
+
+    features: int
+    n_heads: int
+    dtype: Any = None
+
+    def setup(self):
+        assert self.features % self.n_heads == 0
+        assert (self.features // self.n_heads) % 2 == 0, "RoPE needs even head_dim"
+        self.wq = nn.Dense(self.features, dtype=self.dtype, name="wq")
+        self.wk = nn.Dense(self.features, dtype=self.dtype, name="wk")
+        self.wv = nn.Dense(self.features, dtype=self.dtype, name="wv")
+        self.wo = nn.Dense(self.features, dtype=self.dtype, name="wo")
+
+    def _heads(self, x: jax.Array) -> jax.Array:
+        b, t, _ = x.shape
+        return x.reshape(b, t, self.n_heads, self.features // self.n_heads)
+
+    def _qkv(self, x: jax.Array, positions: jax.Array):
+        """positions: (T,) absolute positions of x's tokens."""
+        q = self._heads(self.wq(x))
+        k = self._heads(self.wk(x))
+        v = self._heads(self.wv(x))
+        cos, sin = _rope_angles(positions, q.shape[-1])
+        return _apply_rope(q, cos, sin), _apply_rope(k, cos, sin), v
+
+    def _attend(self, q: jax.Array, k: jax.Array, v: jax.Array,
+                mask: jax.Array) -> jax.Array:
+        """q: (B,Tq,H,D), k/v: (B,Tk,H,D), mask: (Tq,Tk) True=visible."""
+        scale = (q.shape[-1]) ** -0.5
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * scale
+        scores = jnp.where(mask[None, None], scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd",
+                         probs.astype(v.dtype), v)
+        b, t = out.shape[:2]
+        return self.wo(out.reshape(b, t, self.features))
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        t = x.shape[1]
+        positions = jnp.arange(t)
+        q, k, v = self._qkv(x, positions)
+        mask = jnp.tril(jnp.ones((t, t), bool))
+        return self._attend(q, k, v, mask)
+
+    def prefill(self, x: jax.Array, cache: Cache) -> Tuple[jax.Array, Cache]:
+        """Full causal pass over a (B, T) prefix that also writes the
+        rotated k / raw v for positions [0, T) into the cache."""
+        t = x.shape[1]
+        positions = jnp.arange(t)
+        q, k, v = self._qkv(x, positions)
+        mask = jnp.tril(jnp.ones((t, t), bool))
+        out = self._attend(q, k, v, mask)
+        cache = {
+            "k": jax.lax.dynamic_update_slice_in_dim(
+                cache["k"], k.astype(cache["k"].dtype), 0, axis=1),
+            "v": jax.lax.dynamic_update_slice_in_dim(
+                cache["v"], v.astype(cache["v"].dtype), 0, axis=1),
+        }
+        return out, cache
+
+    def step(self, x: jax.Array, cache: Cache,
+             idx: jax.Array) -> Tuple[jax.Array, Cache]:
+        """One decode step: x (B, 1, E) at absolute position ``idx``."""
+        q, k, v = self._qkv(x, jnp.asarray(idx)[None])
+        cache = {
+            "k": jax.lax.dynamic_update_slice_in_dim(
+                cache["k"], k.astype(cache["k"].dtype), idx, axis=1),
+            "v": jax.lax.dynamic_update_slice_in_dim(
+                cache["v"], v.astype(cache["v"].dtype), idx, axis=1),
+        }
+        s = cache["k"].shape[1]
+        mask = (jnp.arange(s) <= idx)[None, :]  # (1, S)
+        out = self._attend(q, cache["k"].astype(k.dtype),
+                           cache["v"].astype(v.dtype), mask)
+        return out, cache
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN block: x + attn(ln(x)); x + mlp(ln(x))."""
+
+    features: int
+    n_heads: int
+    mlp_dim: int
+    dropout: float
+    dtype: Any = None
+
+    def setup(self):
+        self.ln1 = nn.LayerNorm(dtype=self.dtype, name="ln1")
+        self.attn = CausalSelfAttention(self.features, self.n_heads,
+                                        dtype=self.dtype, name="attn")
+        self.ln2 = nn.LayerNorm(dtype=self.dtype, name="ln2")
+        self.fc1 = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")
+        self.fc2 = nn.Dense(self.features, dtype=self.dtype, name="fc2")
+        self.drop = nn.Dropout(rate=self.dropout)
+
+    def _mlp(self, x: jax.Array) -> jax.Array:
+        return self.fc2(jax.nn.gelu(self.fc1(x)))
+
+    def __call__(self, x: jax.Array, deterministic: bool = True) -> jax.Array:
+        x = x + self.drop(self.attn(self.ln1(x)), deterministic=deterministic)
+        x = x + self.drop(self._mlp(self.ln2(x)), deterministic=deterministic)
+        return x
+
+    def prefill(self, x: jax.Array, cache: Cache) -> Tuple[jax.Array, Cache]:
+        a, cache = self.attn.prefill(self.ln1(x), cache)
+        x = x + a
+        return x + self._mlp(self.ln2(x)), cache
+
+    def step(self, x: jax.Array, cache: Cache,
+             idx: jax.Array) -> Tuple[jax.Array, Cache]:
+        a, cache = self.attn.step(self.ln1(x), cache, idx)
+        x = x + a
+        return x + self._mlp(self.ln2(x)), cache
+
+
+class MusicTransformer(nn.Module):
+    """Drop-in transformer sibling of MusicLSTM: identical call signature
+    and conditioning semantics, so ``train/lstm_trainer.py --arch
+    transformer`` reuses the whole training/eval/checkpoint path."""
+
+    vocab_size: int
+    num_genres: int
+    emb_dim: int = 512
+    n_layers: int = 6
+    n_heads: int = 8
+    mlp_ratio: int = 4
+    pad_id: int = 0
+    dropout: float = 0.1
+    dtype: Any = None
+
+    def setup(self):
+        self.tok_emb = nn.Embed(self.vocab_size, self.emb_dim,
+                                dtype=self.dtype, name="tok_emb")
+        self.genre_emb = nn.Embed(self.num_genres, self.emb_dim,
+                                  dtype=self.dtype, name="genre_emb")
+        self.blocks = [
+            TransformerBlock(self.emb_dim, self.n_heads,
+                             self.mlp_ratio * self.emb_dim, self.dropout,
+                             dtype=self.dtype, name=f"block_{i}")
+            for i in range(self.n_layers)
+        ]
+        self.ln_f = nn.LayerNorm(dtype=self.dtype, name="ln_f")
+        self.proj = nn.Dense(self.vocab_size, dtype=self.dtype, name="proj")
+
+    def _embed(self, tokens: jax.Array, genre_ids: jax.Array) -> jax.Array:
+        tok_e = self.tok_emb(tokens)
+        # padding_idx semantics: pad rows contribute zero vectors
+        # (reference train_music_lstm_v2.py:160; same as MusicLSTM)
+        tok_e = jnp.where((tokens == self.pad_id)[..., None],
+                          jnp.zeros((), tok_e.dtype), tok_e)
+        return tok_e + self.genre_emb(genre_ids)[:, None, :]
+
+    def __call__(
+        self,
+        tokens: jax.Array,  # (B, L) int
+        genre_ids: jax.Array,  # (B,) int
+        lengths: jax.Array | None = None,  # unused (masked CE handles pads)
+        deterministic: bool = True,
+    ) -> jax.Array:
+        x = self._embed(tokens, genre_ids)
+        for blk in self.blocks:
+            x = blk(x, deterministic=deterministic)
+        return self.proj(self.ln_f(x))
+
+    # -- decode-path methods (invoked via apply(..., method=...)) --------
+
+    def prefill(self, tokens: jax.Array, genre_ids: jax.Array,
+                caches: List[Cache]) -> Tuple[jax.Array, List[Cache]]:
+        """Batched prefix pass filling every layer's KV cache at
+        positions [0, T). Returns (last-position logits (B, V), caches)."""
+        x = self._embed(tokens, genre_ids)
+        new = []
+        for blk, cache in zip(self.blocks, caches):
+            x, cache = blk.prefill(x, cache)
+            new.append(cache)
+        return self.proj(self.ln_f(x[:, -1])), new
+
+    def step(self, token: jax.Array, genre_ids: jax.Array,
+             caches: List[Cache],
+             idx: jax.Array) -> Tuple[jax.Array, List[Cache]]:
+        """One decode step: token (B,) at absolute position ``idx``.
+        Returns (logits (B, V), caches)."""
+        x = self._embed(token[:, None], genre_ids)
+        new = []
+        for blk, cache in zip(self.blocks, caches):
+            x, cache = blk.step(x, cache, idx)
+            new.append(cache)
+        return self.proj(self.ln_f(x[:, 0])), new
+
+
+def init_cache(model: MusicTransformer, batch: int, max_total: int,
+               dtype=jnp.float32) -> List[Cache]:
+    """Per-layer KV cache covering absolute positions [0, max_total)."""
+    head_dim = model.emb_dim // model.n_heads
+    shape = (batch, max_total, model.n_heads, head_dim)
+    return [
+        {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+        for _ in range(model.n_layers)
+    ]

@@ -181,9 +181,21 @@ def main(argv=None):
     p.add_argument("--val_split", type=float, default=0.1)
     p.add_argument("--vocab_size", type=int, required=True)
     p.add_argument("--num_genres", type=int, required=True)
+    p.add_argument("--arch", choices=("lstm", "transformer"), default="lstm",
+                   help="token-LM architecture: the reference-parity LSTM "
+                        "or the TPU-first causal transformer "
+                        "(models/token_transformer.py — fully parallel "
+                        "over time on the MXU; same data/loss/checkpoint "
+                        "path)")
     p.add_argument("--emb_dim", type=int, default=512)
     p.add_argument("--lstm_hid", type=int, default=1024)
     p.add_argument("--lstm_layers", type=int, default=2)
+    p.add_argument("--n_layers", type=int, default=6,
+                   help="transformer depth (--arch transformer)")
+    p.add_argument("--n_heads", type=int, default=8,
+                   help="transformer attention heads (--arch transformer)")
+    p.add_argument("--mlp_ratio", type=int, default=4,
+                   help="transformer MLP width ratio (--arch transformer)")
     p.add_argument("--bos_id", type=int, default=1)
     p.add_argument("--pad_id", type=int, default=0)
     p.add_argument("--epochs", type=int, default=5)
@@ -207,6 +219,10 @@ def main(argv=None):
                         "(batch_size must divide by M; bubble fraction "
                         "(N-1)/(M+N-1))")
     args = p.parse_args(argv)
+    if args.arch == "transformer" and args.pipe:
+        raise SystemExit("--pipe is the LSTM stack's pipeline schedule; "
+                         "--arch transformer trains parallel over time "
+                         "and does not need it")
 
     os.makedirs(args.out_dir, exist_ok=True)
     logger = MetricsLogger(args.out_dir, run_name="lstm")
@@ -219,12 +235,23 @@ def main(argv=None):
     val_idx, train_idx = perm[:val_size].tolist(), perm[val_size:].tolist()
     print(f"Split: {len(train_idx)} train / {len(val_idx)} val")
 
-    model = MusicLSTM(
-        vocab_size=args.vocab_size, num_genres=args.num_genres,
-        emb_dim=args.emb_dim, lstm_hid=args.lstm_hid,
-        lstm_layers=args.lstm_layers, pad_id=args.pad_id,
-        dtype=jnp.bfloat16 if args.bf16 else None,
-    )
+    if args.arch == "transformer":
+        from mqgan_tpu.models.token_transformer import MusicTransformer
+
+        model = MusicTransformer(
+            vocab_size=args.vocab_size, num_genres=args.num_genres,
+            emb_dim=args.emb_dim, n_layers=args.n_layers,
+            n_heads=args.n_heads, mlp_ratio=args.mlp_ratio,
+            pad_id=args.pad_id,
+            dtype=jnp.bfloat16 if args.bf16 else None,
+        )
+    else:
+        model = MusicLSTM(
+            vocab_size=args.vocab_size, num_genres=args.num_genres,
+            emb_dim=args.emb_dim, lstm_hid=args.lstm_hid,
+            lstm_layers=args.lstm_layers, pad_id=args.pad_id,
+            dtype=jnp.bfloat16 if args.bf16 else None,
+        )
     tok0, gen0, len0 = next(batches(ds, train_idx, args.batch_size,
                                     args.pad_id, None))
     params = model.init(jax.random.key(args.seed), jnp.asarray(tok0[:, :-1]),
@@ -234,6 +261,10 @@ def main(argv=None):
 
     if args.pretrained:
         if args.pretrained.endswith((".pt", ".pth")):
+            if args.arch != "lstm":
+                raise SystemExit("torch .pt/.pth warm-start is the "
+                                 "reference LSTM's format; --arch "
+                                 "transformer restores from orbax dirs")
             import torch
 
             from mqgan_tpu.utils.torch_import import import_music_lstm_params
