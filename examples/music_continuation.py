@@ -78,12 +78,28 @@ def main(argv=None):
     with open(os.path.join(args.lm_run, "best.json")) as f:
         best = json.load(f)
     lm_args = best["args"]
-    model = MusicLSTM(
-        vocab_size=lm_args["vocab_size"], num_genres=lm_args["num_genres"],
-        emb_dim=lm_args["emb_dim"], lstm_hid=lm_args["lstm_hid"],
-        lstm_layers=lm_args["lstm_layers"], pad_id=lm_args["pad_id"],
-        dropout=0.0,
-    )
+    # the trainer embeds its run args in best.json, so the LM architecture
+    # (lstm_trainer --arch) is auto-detected here
+    arch = lm_args.get("arch", "lstm")
+    if arch == "transformer":
+        from mqgan_tpu.models.lm_sampling import generate_tokens_transformer
+        from mqgan_tpu.models.token_transformer import MusicTransformer
+
+        model = MusicTransformer(
+            vocab_size=lm_args["vocab_size"],
+            num_genres=lm_args["num_genres"], emb_dim=lm_args["emb_dim"],
+            n_layers=lm_args["n_layers"], n_heads=lm_args["n_heads"],
+            mlp_ratio=lm_args["mlp_ratio"], pad_id=lm_args["pad_id"],
+            dropout=0.0,
+        )
+    else:
+        model = MusicLSTM(
+            vocab_size=lm_args["vocab_size"],
+            num_genres=lm_args["num_genres"], emb_dim=lm_args["emb_dim"],
+            lstm_hid=lm_args["lstm_hid"],
+            lstm_layers=lm_args["lstm_layers"], pad_id=lm_args["pad_id"],
+            dropout=0.0,
+        )
     # template for orbax restore (jitted init: unjitted tracing is
     # minutes-slow through remote backends)
     tok0 = jnp.zeros((1, 4), jnp.int32)
@@ -109,7 +125,9 @@ def main(argv=None):
         {lm_args["pad_id"], lm_args["bos_id"]}
         | set(range(codec.codebook_size, lm_args["vocab_size"]))
     )
-    tokens = generate_tokens(
+    sampler = (generate_tokens_transformer if arch == "transformer"
+               else generate_tokens)
+    tokens = sampler(
         model, params, jnp.asarray([args.genre]), jax.random.key(args.seed),
         max_len=args.length, temperature=args.temperature, top_k=args.top_k,
         top_p=args.top_p,
