@@ -78,6 +78,13 @@ def medium_cfg(variant, lr=None, warmup=None):
         # check for the effective-batch knob (dropout draws differ from
         # "exact" by construction: per-microbatch rng folds)
         pass
+    elif variant.startswith("fsqnoise"):
+        # codebook-health experiment (round-1 observation: usage collapse
+        # to <5/1000 codes on synthetic data): A/B the reference's
+        # mitigation knob, FSQ noise dropout (quantizer.py:142-156;
+        # reference default 0.0 — "fsqnoise0" IS the baseline; the NSQ
+        # paper it cites, arXiv:2411.19842 §3.2, uses 0.5)
+        over["fsq_noise_dropout"] = float(variant[len("fsqnoise"):]) / 10.0
     else:
         raise SystemExit(f"unknown variant {variant}")
     if over:
@@ -122,12 +129,16 @@ def run_variant(variant, steps, b, t, log_every, lr=None, warmup=None):
                          "recon_pre": round(float(m["loss_recon_pre"]), 4),
                          "recon_post": round(float(m["loss_recon_post"]), 4),
                          "codebook_usage": round(
-                             float(m["codebook_usage"]), 3)})
+                             float(m["codebook_usage"]), 3),
+                         "codebook_perplexity": round(
+                             float(m["codebook_perplexity"]), 1)})
             print(f"[{variant}] {traj[-1]}", flush=True)
     wall = time.perf_counter() - t0
     return {"variant": variant, "steps": steps, "batch": b, "frames": t,
             "wall_s": round(wall, 1), "trajectory": traj,
-            "final_recon_pre": traj[-1]["recon_pre"]}
+            "final_recon_pre": traj[-1]["recon_pre"],
+            "final_codebook_usage": traj[-1]["codebook_usage"],
+            "final_codebook_perplexity": traj[-1]["codebook_perplexity"]}
 
 
 def main(argv=None):

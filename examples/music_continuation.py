@@ -57,7 +57,6 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from mqgan_tpu.models.lm_sampling import generate_tokens
-    from mqgan_tpu.models.music_lstm import MusicLSTM
     from mqgan_tpu.utils.checkpoint import load_pretrained_generator
 
     if args.model_dir:
@@ -83,23 +82,9 @@ def main(argv=None):
     arch = lm_args.get("arch", "lstm")
     if arch == "transformer":
         from mqgan_tpu.models.lm_sampling import generate_tokens_transformer
-        from mqgan_tpu.models.token_transformer import MusicTransformer
+    from mqgan_tpu.models.token_lm import build_token_lm
 
-        model = MusicTransformer(
-            vocab_size=lm_args["vocab_size"],
-            num_genres=lm_args["num_genres"], emb_dim=lm_args["emb_dim"],
-            n_layers=lm_args["n_layers"], n_heads=lm_args["n_heads"],
-            mlp_ratio=lm_args["mlp_ratio"], pad_id=lm_args["pad_id"],
-            dropout=0.0,
-        )
-    else:
-        model = MusicLSTM(
-            vocab_size=lm_args["vocab_size"],
-            num_genres=lm_args["num_genres"], emb_dim=lm_args["emb_dim"],
-            lstm_hid=lm_args["lstm_hid"],
-            lstm_layers=lm_args["lstm_layers"], pad_id=lm_args["pad_id"],
-            dropout=0.0,
-        )
+    model = build_token_lm(lm_args, dropout=0.0)
     # template for orbax restore (jitted init: unjitted tracing is
     # minutes-slow through remote backends)
     tok0 = jnp.zeros((1, 4), jnp.int32)

@@ -10,12 +10,17 @@ baked in as constants, multi-platform (cpu + tpu), so a serving host
 needs only this artifact directory — no checkpoint, no flax, no model
 code.
 
-What makes the LM exportable at all is `generate_tokens_served`
-(models/lm_sampling.py): every sampling control — temperature, top-k,
-top-p, prompt length, the forbidden-token set (as a (V,) mask), the
-PRNG seed — is a TRACED argument, so ONE serialized program per
-(prompt-bucket P, generation-bucket L) pair serves every request shape.
-The batch dimension is symbolic. A scoring program (per-row NLL sums,
+What makes the LM exportable at all is the served sampler pair
+(models/lm_sampling.py `generate_tokens_served` /
+`generate_tokens_transformer_served` — BOTH archs share one signature,
+models/token_lm.py:served_sampler): every sampling control —
+temperature, top-k, top-p, the forbidden-token set (as a (V,) mask) —
+is a TRACED argument and the PRNG seed and prompt length are PER-ROW
+traced vectors, so ONE serialized program per (prompt-bucket P,
+generation-bucket L) pair serves every request shape AND lets the
+http_lm continuous batcher coalesce mixed-prompt-length requests into
+one dispatch with row-for-row solo-run-exact tokens. The batch
+dimension is symbolic. A scoring program (per-row NLL sums,
 `score_tokens`) is exported per length bucket alongside, giving the
 artifact a perplexity/rerank head that exactly mirrors the trainer's
 masked CE.
@@ -44,7 +49,7 @@ DEFAULT_SCORE_BUCKETS = (256, 1024)
 
 def export_music_lm(
     model,
-    params,  # params['params'] tree of MusicLSTM
+    params,  # params['params'] tree of the token LM (either arch)
     out_dir: str,
     *,
     gen_buckets: Sequence[int] = DEFAULT_GEN_BUCKETS,
@@ -54,27 +59,30 @@ def export_music_lm(
     lm_args: dict | None = None,
     verify: bool = True,
 ) -> str:
-    """Serialize the dynamic-control sampler per (P, L) bucket pair and
-    the scoring head per length bucket, params baked in."""
+    """Serialize the dynamic-control per-row sampler per (P, L) bucket
+    pair and the scoring head per length bucket, params baked in. Works
+    for both archs (models/token_lm.py dispatches the served sampler);
+    the manifest records which one so the runtime can report it."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
 
     from mqgan_tpu.deploy.export import _export_platforms
-    from mqgan_tpu.models.lm_sampling import (generate_tokens_served,
-                                              score_tokens)
+    from mqgan_tpu.models.lm_sampling import score_tokens
+    from mqgan_tpu.models.token_lm import arch_config, served_sampler
 
     os.makedirs(out_dir, exist_ok=True)
     platforms = _export_platforms()
     b = jexport.symbolic_shape("b")[0]
     v = model.vocab_size
+    sampler = served_sampler(model)
 
     manifest = {
+        "version": 2,  # v2: per-row seeds + prompt_lens, arch-aware
+        "arch_config": arch_config(model),
+        "arch": arch_config(model)["arch"],
         "vocab_size": v,
         "num_genres": model.num_genres,
-        "emb_dim": model.emb_dim,
-        "lstm_hid": model.lstm_hid,
-        "lstm_layers": model.lstm_layers,
         "pad_id": model.pad_id,
         "bos_id": int(bos_id),
         "gen_buckets": sorted(int(t) for t in gen_buckets),
@@ -93,19 +101,19 @@ def export_music_lm(
     for p_bucket in manifest["prompt_buckets"]:
         for max_len in manifest["gen_buckets"]:
 
-            def gen_fn(genre_ids, seed, prompt, prompt_len, temperature,
+            def gen_fn(genre_ids, seeds, prompt, prompt_lens, temperature,
                        top_k, top_p, vocab_mask,
                        _l=max_len):
-                return generate_tokens_served(
-                    model, params, genre_ids, seed, prompt, prompt_len,
+                return sampler(
+                    model, params, genre_ids, seeds, prompt, prompt_lens,
                     temperature, top_k, top_p, vocab_mask,
                     max_len=_l, bos_id=bos_id)
 
             exp = jexport.export(jax.jit(gen_fn), platforms=platforms)(
                 jax.ShapeDtypeStruct((b,), i32),          # genre_ids
-                scalar_i,                                 # seed
+                jax.ShapeDtypeStruct((b,), i32),          # seeds (per row)
                 jax.ShapeDtypeStruct((b, p_bucket), i32),  # prompt
-                scalar_i,                                 # prompt_len
+                jax.ShapeDtypeStruct((b,), i32),          # prompt_lens
                 scalar_f,                                 # temperature
                 scalar_i,                                 # top_k
                 scalar_f,                                 # top_p
@@ -140,7 +148,8 @@ def export_music_lm(
 
 def verify_lm_export(out_dir: str) -> None:
     """Reload through the runtime and generate + score at NON-bucket
-    request shapes (codec convention, deploy/export.py:145-163)."""
+    request shapes (codec convention, deploy/export.py:145-163) —
+    including a mixed-prompt-length per-row batch."""
     rt = ExportedMusicLM(out_dir)
     length = max(1, rt.gen_buckets[0] - rt.gen_buckets[0] // 4)
     genres = np.zeros((2,), np.int32)
@@ -149,6 +158,16 @@ def verify_lm_export(out_dir: str) -> None:
     assert toks.shape == (2, length), toks.shape
     assert toks.min() >= 0 and toks.max() < rt.vocab_size
     assert not np.isin(toks, [rt.pad_id, rt.bos_id]).any()
+    # rows with different seeds differ; mixed prompt lengths dispatch
+    assert not np.array_equal(toks[0], toks[1])
+    p = rt.prompt_buckets[-1]
+    if p > 1:
+        prompts = [np.arange(2, 2 + min(3, p), dtype=np.int32),
+                   np.arange(2, 2 + min(p, 5), dtype=np.int32)[::-1]]
+        mixed = rt.generate_rows(
+            genres, np.asarray([3, 4], np.int32), length, prompts=prompts,
+            temperature=0.9, top_k=8, forbidden=(rt.pad_id, rt.bos_id))
+        assert mixed.shape == (2, length), mixed.shape
     body = np.concatenate([np.full((2, 1), rt.bos_id, np.int32),
                            toks[:, : rt.score_buckets[0] - 1]], axis=1)
     nll, n = rt.score(body, genres)
@@ -178,6 +197,11 @@ class ExportedMusicLM:
         self.model_dir = model_dir
         with open(os.path.join(model_dir, LM_MANIFEST_NAME)) as f:
             self.manifest = json.load(f)
+        if self.manifest.get("version", 1) < 2:
+            raise ValueError(
+                f"{model_dir} is a v1 LM export (scalar seed/prompt_len); "
+                f"re-export with the current deploy.export_lm (v2 programs "
+                f"take per-row seeds and prompt lengths)")
         self.gen_buckets = sorted(self.manifest["gen_buckets"])
         self.prompt_buckets = sorted(self.manifest["prompt_buckets"])
         self.score_buckets = sorted(self.manifest["score_buckets"])
@@ -215,6 +239,11 @@ class ExportedMusicLM:
         if any — lets an HTTP front end report run provenance."""
         return self.manifest.get("lm_args")
 
+    @property
+    def arch(self) -> str:
+        """Which token-LM architecture the baked-in programs run."""
+        return self.manifest.get("arch", "lstm")
+
     @staticmethod
     def _bucket(buckets, n, what):
         for t in buckets:
@@ -229,35 +258,71 @@ class ExportedMusicLM:
         genre_ids: np.ndarray,  # (B,) int
         length: int,
         *,
-        seed: int,
+        seed,  # int (row b gets seed + b) or (B,) per-row seeds
         temperature: float = 1.0,
         top_k: int = 0,
         top_p: float = 0.0,
-        prompt: np.ndarray | None = None,  # (B, P) int
+        prompt: np.ndarray | None = None,  # (B, P) int, shared length
         forbidden: Sequence[int] = (),
     ) -> np.ndarray:
-        """(B, length) sampled continuation tokens. Matches the
-        in-process sampler run at the covering generation bucket,
-        trimmed to `length` (the http_lm length-grid policy)."""
+        """(B, length) sampled continuation tokens. Row b matches the
+        in-process per-row sampler (= a B=1 `generate_tokens`/
+        `generate_tokens_transformer` run with rng=key(seed_b)) at the
+        covering generation bucket, trimmed to `length` (the http_lm
+        length-grid policy). A scalar seed derives per-row seeds
+        seed + [0..B) so batched rows are distinct samples."""
         genre_ids = np.asarray(genre_ids, np.int32)
         b = genre_ids.shape[0]
+        prompts = None if prompt is None else list(
+            np.asarray(prompt, np.int32))
+        return self.generate_rows(
+            genre_ids, seed, length, prompts=prompts,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            forbidden=forbidden)
+
+    def generate_rows(
+        self,
+        genre_ids: np.ndarray,  # (B,) int
+        seeds,  # int scalar (-> seed + arange(B)) or (B,) per-row
+        length: int,
+        *,
+        prompts=None,  # None | list of per-row None / 1-D int arrays
+        temperature: float = 1.0,
+        top_k: int = 0,
+        top_p: float = 0.0,
+        forbidden: Sequence[int] = (),
+    ) -> np.ndarray:
+        """The continuous-batching primitive: PER-ROW seeds and
+        (mixed-length) prompts share one dispatch of the (P, L)-bucket
+        program; each row's tokens equal its solo run (the served
+        samplers' per-row contract, models/lm_sampling.py)."""
+        genre_ids = np.asarray(genre_ids, np.int32)
+        b = genre_ids.shape[0]
+        seeds = np.asarray(seeds)
+        if seeds.ndim == 0:
+            seeds = seeds.astype(np.int64) + np.arange(b)
+        seeds = seeds.astype(np.int32)
+        if seeds.shape != (b,):
+            raise ValueError(f"seeds shape {seeds.shape} != ({b},)")
         l_bucket = self._bucket(self.gen_buckets, length, "length")
-        if prompt is None:
-            p_len = 0
-            p_bucket = self.prompt_buckets[0]
-            prompt_arr = np.zeros((b, p_bucket), np.int32)
-        else:
-            prompt = np.asarray(prompt, np.int32)
-            p_len = prompt.shape[1]
-            p_bucket = self._bucket(self.prompt_buckets, max(p_len, 1),
-                                    "prompt length")
-            prompt_arr = np.zeros((b, p_bucket), np.int32)
-            prompt_arr[:, :p_len] = prompt
+        if prompts is None:
+            prompts = [None] * b
+        if len(prompts) != b:
+            raise ValueError(f"{len(prompts)} prompts for {b} rows")
+        p_lens = np.asarray(
+            [0 if p is None else np.asarray(p).shape[0] for p in prompts],
+            np.int32)
+        p_bucket = self._bucket(self.prompt_buckets, max(1, p_lens.max()),
+                                "prompt length")
+        prompt_arr = np.zeros((b, p_bucket), np.int32)
+        for i, p in enumerate(prompts):
+            if p is not None:
+                prompt_arr[i, : p_lens[i]] = np.asarray(p, np.int32)
         mask = np.ones((self.vocab_size,), bool)
         for t in forbidden:
             mask[int(t)] = False
         out = self._gen[(p_bucket, l_bucket)].call(
-            genre_ids, np.int32(seed), prompt_arr, np.int32(p_len),
+            genre_ids, seeds, prompt_arr, p_lens,
             np.float32(temperature), np.int32(top_k), np.float32(top_p),
             mask)
         return np.asarray(out)[:, :length]
@@ -281,21 +346,20 @@ class ExportedMusicLM:
 def load_lm_from_run(lm_run: str):
     """(model, params, lm_args) from an lstm_trainer out_dir
     (best.json + orbax checkpoint) — the loading recipe deploy/http_lm.py
-    uses, shared here for the export CLI."""
+    uses, shared here for the export CLI. Arch-aware: `args["arch"]`
+    (lstm_trainer --arch, default lstm) picks the model via
+    models/token_lm.py:build_token_lm, so transformer runs export and
+    serve exactly like LSTM runs."""
     import jax
     import jax.numpy as jnp
 
-    from mqgan_tpu.models.music_lstm import MusicLSTM
+    from mqgan_tpu.models.token_lm import build_token_lm
     from mqgan_tpu.utils.checkpoint import load_pretrained_generator
 
     with open(os.path.join(lm_run, "best.json")) as f:
         best = json.load(f)
     a = best["args"]
-    model = MusicLSTM(
-        vocab_size=a["vocab_size"], num_genres=a["num_genres"],
-        emb_dim=a["emb_dim"], lstm_hid=a["lstm_hid"],
-        lstm_layers=a["lstm_layers"], pad_id=a["pad_id"], dropout=0.0,
-    )
+    model = build_token_lm(a, dropout=0.0)
     tok0 = jnp.zeros((1, 4), jnp.int32)
     template = jax.jit(model.init)(
         jax.random.key(0), tok0, jnp.zeros((1,), jnp.int32), None

@@ -132,13 +132,75 @@ def generate_tokens(
     return jnp.transpose(tokens, (1, 0))  # (B, max_len)
 
 
+def filter_logits_traced(
+    logits: jax.Array,  # (B, V)
+    temperature: jax.Array,  # () f32 (pre-clamped > 0)
+    top_k: jax.Array,  # () int32 in [0, V]; 0 disables
+    top_p: jax.Array,  # () f32; 0 or >=1 disables
+    vocab_mask: jax.Array,  # (V,) bool; True = sampleable
+) -> jax.Array:
+    """`sample_filtered`'s filter math with every control a TRACED value
+    (no categorical draw) — shared by both archs' served samplers. The
+    dynamic top-k/top-p gates reduce to the static versions' exact
+    thresholds, and disabled filters become `-inf` thresholds (no-ops)
+    instead of skipped branches."""
+    v = logits.shape[-1]
+    logits = logits.astype(jnp.float32) / temperature
+    logits = jnp.where(vocab_mask[None, :], logits, -jnp.inf)
+    # dynamic top-k: ascending sort, threshold at rank V-k; k=0 means
+    # a -inf threshold (keep everything)
+    srt = jnp.sort(logits, axis=-1)
+    idx = jnp.full((logits.shape[0], 1), v, jnp.int32) - jnp.maximum(
+        top_k, 1)
+    kth_k = jnp.take_along_axis(srt, idx, axis=-1)
+    kth_k = jnp.where(top_k > 0, kth_k, -jnp.inf)
+    logits = jnp.where(logits < kth_k, -jnp.inf, logits)
+    # dynamic nucleus: keep the smallest descending-prob prefix whose
+    # mass-before is < top_p (top-1 always stays); re-sorts AFTER the
+    # top-k filter exactly like generate_tokens
+    desc = jnp.sort(logits, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(desc, axis=-1)
+    before = jnp.cumsum(probs, axis=-1) - probs
+    kept = jnp.where(before < top_p, desc, jnp.inf)
+    kth_p = jnp.min(kept, axis=-1, keepdims=True)
+    enabled = (top_p > 0.0) & (top_p < 1.0)
+    kth_p = jnp.where(enabled, kth_p, -jnp.inf)
+    return jnp.where(logits < kth_p, -jnp.inf, logits)
+
+
+def _row_sampling_keys(seeds: jax.Array, max_len: int) -> jax.Array:
+    """(B,) int32 seeds -> (B, max_len, KD) raw key data: row b's draw
+    at post-prompt step s uses `split(key(seeds[b]), max_len)[s]` — the
+    SAME chain `generate_tokens` / `generate_tokens_transformer` use at
+    B=1 with rng=key(seeds[b]), which is what makes a coalesced serving
+    batch row-for-row bit-identical to solo runs."""
+
+    def chain(s):
+        return jax.random.key_data(
+            jax.random.split(jax.random.key(s), max_len))
+
+    return jax.vmap(chain)(seeds.astype(jnp.int32))
+
+
+def _rowwise_categorical(keys_data: jax.Array, logits: jax.Array) -> jax.Array:
+    """Per-row categorical draw: keys_data (B, KD), logits (B, V). Row b
+    draws with its own key — bit-identical to the B=1 batch draw
+    `jax.random.categorical(key_b, logits[b:b+1])` (the uniform bits for
+    shapes (1, V) and (V,) coincide), so batched rows equal solo runs."""
+
+    def draw(kd, lg):
+        return jax.random.categorical(jax.random.wrap_key_data(kd), lg)
+
+    return jax.vmap(draw)(keys_data, logits).astype(jnp.int32)
+
+
 def generate_tokens_served(
     model: MusicLSTM,
     params,  # params['params'] tree of MusicLSTM
     genre_ids: jax.Array,  # (B,)
-    seed: jax.Array,  # () int32 — PRNG seed (key built in-graph)
-    prompt: jax.Array,  # (B, P) int32, P >= 1 static (pad rows arbitrary)
-    prompt_len: jax.Array,  # () int32 in [0, P]; 0 = unconditional
+    seeds: jax.Array,  # (B,) int32 — PER-ROW PRNG seeds (keys in-graph)
+    prompt: jax.Array,  # (B, P) int32, P >= 1 static (pad region arbitrary)
+    prompt_lens: jax.Array,  # (B,) int32 in [0, P]; 0 = unconditional
     temperature: jax.Array,  # () f32
     top_k: jax.Array,  # () int32; 0 disables
     top_p: jax.Array,  # () f32; 0 or >=1 disables
@@ -147,20 +209,22 @@ def generate_tokens_served(
     max_len: int,
     bos_id: int = 1,
 ) -> jax.Array:
-    """`generate_tokens` with every sampling control a TRACED value — the
-    AOT-export variant (deploy/export_lm.py): one serialized program per
-    (prompt-bucket P, generation-bucket max_len) serves any temperature /
-    top-k / top-p / prompt length / forbidden-token set.
+    """`generate_tokens` with every sampling control a TRACED value and
+    PER-ROW (seed, prompt_len) — the AOT-export / continuous-batching
+    variant (deploy/export_lm.py, deploy/http_lm.py): one serialized
+    program per (prompt-bucket P, generation-bucket max_len) serves any
+    temperature / top-k / top-p / forbidden-token set, and a batch may
+    mix prompt lengths and seeds freely.
 
-    Token-exact with `generate_tokens` for matching arguments (pinned in
-    tests/test_lm_sampling.py): same per-step recurrence, same sampling
-    keys (`split(key(seed), max_len)` indexed by the post-prompt step),
-    and the same filter math — the dynamic top-k/top-p gates reduce to
-    the static versions' exact thresholds, and disabled filters become
-    `-inf` thresholds (no-ops) instead of skipped branches.
+    Row b is token-exact with `generate_tokens` at B=1 called with
+    rng=key(seeds[b]) and prompt=row b's prompt (pinned in
+    tests/test_lm_sampling.py): same recurrence, same per-row key chain
+    (`split(key(seed), max_len)` indexed by the post-prompt step), same
+    filter math (`filter_logits_traced`). That row-for-row solo equality
+    is the continuous-batching invariant — coalescing requests cannot
+    change any client's tokens.
 
-    Returns the (B, max_len) continuation AFTER the prompt, like
-    `generate_tokens(prompt=...)`.
+    Returns the (B, max_len) continuation AFTER each row's prompt.
     """
     b = genre_ids.shape[0]
     p_bucket = prompt.shape[1]
@@ -171,59 +235,121 @@ def generate_tokens_served(
         cell.initialize_carry(jax.random.key(0), (b, model.emb_dim))
         for _ in range(model.lstm_layers)
     ]
-    keys = jax.random.split(jax.random.key(seed), max_len)
-    keys_data = jax.random.key_data(keys)  # (max_len, ...) gatherable
+    keys_data = _row_sampling_keys(seeds, max_len)  # (B, max_len, KD)
     prompt = prompt.astype(jnp.int32)
-    prompt_len = jnp.clip(prompt_len.astype(jnp.int32), 0, p_bucket)
+    prompt_lens = jnp.clip(prompt_lens.astype(jnp.int32), 0, p_bucket)
     temperature = jnp.maximum(temperature.astype(jnp.float32), 1e-6)
     top_k = jnp.clip(top_k.astype(jnp.int32), 0, v)
     top_p = top_p.astype(jnp.float32)
-
-    def sample(logits, key):
-        logits = logits.astype(jnp.float32) / temperature
-        logits = jnp.where(vocab_mask[None, :], logits, -jnp.inf)
-        # dynamic top-k: ascending sort, threshold at rank V-k; k=0 means
-        # a -inf threshold (keep everything)
-        srt = jnp.sort(logits, axis=-1)
-        idx = jnp.full((logits.shape[0], 1), v, jnp.int32) - jnp.maximum(
-            top_k, 1)
-        kth_k = jnp.take_along_axis(srt, idx, axis=-1)
-        kth_k = jnp.where(top_k > 0, kth_k, -jnp.inf)
-        logits = jnp.where(logits < kth_k, -jnp.inf, logits)
-        # dynamic nucleus: keep the smallest descending-prob prefix whose
-        # mass-before is < top_p (top-1 always stays); re-sorts AFTER the
-        # top-k filter exactly like generate_tokens
-        desc = jnp.sort(logits, axis=-1)[:, ::-1]
-        probs = jax.nn.softmax(desc, axis=-1)
-        before = jnp.cumsum(probs, axis=-1) - probs
-        kept = jnp.where(before < top_p, desc, jnp.inf)
-        kth_p = jnp.min(kept, axis=-1, keepdims=True)
-        enabled = (top_p > 0.0) & (top_p < 1.0)
-        kth_p = jnp.where(enabled, kth_p, -jnp.inf)
-        logits = jnp.where(logits < kth_p, -jnp.inf, logits)
-        return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
     def body(carry, t):
         carries, token = carry
         carries, logits = _step_logits(model, params, carries, token,
                                        genre_vec)
-        # sampling key by post-prompt position: step t samples token
-        # number (t - prompt_len); prompt-region draws are discarded
-        sample_idx = jnp.clip(t - prompt_len, 0, max_len - 1)
-        key_t = jax.random.wrap_key_data(keys_data[sample_idx])
-        nxt = sample(logits, key_t)
+        # per-row sampling key by post-prompt position: at step t row b
+        # samples its token number (t - prompt_lens[b]); draws in the
+        # prompt region are discarded
+        s = jnp.clip(t - prompt_lens, 0, max_len - 1)  # (B,)
+        kd_t = jnp.take_along_axis(
+            keys_data, s[:, None, None], axis=1)[:, 0]
+        flt = filter_logits_traced(logits, temperature, top_k, top_p,
+                                   vocab_mask)
+        nxt = _rowwise_categorical(kd_t, flt)
         # next input: teacher-force prompt[t] while t+1 <= prompt_len
         p_idx = jnp.clip(t, 0, p_bucket - 1)
-        in_next = jnp.where(t + 1 <= prompt_len, prompt[:, p_idx], nxt)
+        in_next = jnp.where(t + 1 <= prompt_lens, prompt[:, p_idx], nxt)
         return (carries, in_next), nxt
 
     total = p_bucket + max_len
     token0 = jnp.full((b,), bos_id, jnp.int32)
     (_, _), outs = jax.lax.scan(body, (carries, token0),
                                 jnp.arange(total, dtype=jnp.int32))
-    # continuation = samples at steps [prompt_len, prompt_len + max_len)
-    outs = jax.lax.dynamic_slice_in_dim(outs, prompt_len, max_len, axis=0)
-    return jnp.transpose(outs, (1, 0))  # (B, max_len)
+    # row b's continuation = samples at steps
+    # [prompt_lens[b], prompt_lens[b] + max_len)
+    outs = jnp.transpose(outs, (1, 0))  # (B, total)
+    gather = prompt_lens[:, None] + jnp.arange(max_len, dtype=jnp.int32)
+    return jnp.take_along_axis(outs, gather, axis=1)  # (B, max_len)
+
+
+def generate_tokens_transformer_served(
+    model,  # MusicTransformer
+    params,  # params['params'] tree of MusicTransformer
+    genre_ids: jax.Array,  # (B,)
+    seeds: jax.Array,  # (B,) int32 — PER-ROW PRNG seeds
+    prompt: jax.Array,  # (B, P) int32, P >= 1 static (pad region arbitrary)
+    prompt_lens: jax.Array,  # (B,) int32 in [0, P]; 0 = unconditional
+    temperature: jax.Array,  # () f32
+    top_k: jax.Array,  # () int32; 0 disables
+    top_p: jax.Array,  # () f32; 0 or >=1 disables
+    vocab_mask: jax.Array,  # (V,) bool; True = sampleable
+    *,
+    max_len: int,
+    bos_id: int = 1,
+) -> jax.Array:
+    """The transformer twin of `generate_tokens_served` — SAME signature
+    and per-row solo-equality contract, so deploy/export_lm.py and the
+    http_lm batcher dispatch on arch without caring which model runs.
+
+    The prefix ([BOS] + each row's prompt, right-padded to the P bucket)
+    prefills every layer's KV cache in one MXU pass; per-row logits are
+    gathered at each row's last valid position (prompt_lens[b]), then
+    max_len tokens extend the cache via `step_rows` — each row writes and
+    attends at its OWN absolute position prompt_lens[b]+t, overwriting
+    the prefill's pad-region garbage before any valid query can see it
+    (step t writes position prompt_lens[b]+t, then attends positions
+    <= it, all of which are BOS/prompt or already-regenerated).
+
+    Row b is token-exact with `generate_tokens_transformer` at B=1 with
+    rng=key(seeds[b]) (pinned in tests/test_lm_sampling.py).
+    """
+    from mqgan_tpu.models.token_transformer import (MusicTransformer,
+                                                    init_cache)
+
+    b = genre_ids.shape[0]
+    p_bucket = prompt.shape[1]
+    v = model.vocab_size
+    prompt = prompt.astype(jnp.int32)
+    prompt_lens = jnp.clip(prompt_lens.astype(jnp.int32), 0, p_bucket)
+    temperature = jnp.maximum(temperature.astype(jnp.float32), 1e-6)
+    top_k = jnp.clip(top_k.astype(jnp.int32), 0, v)
+    top_p = top_p.astype(jnp.float32)
+    keys_data = _row_sampling_keys(seeds, max_len)  # (B, max_len, KD)
+
+    prefix = jnp.concatenate(
+        [jnp.full((b, 1), bos_id, jnp.int32), prompt], axis=1)  # (B, P+1)
+    # positions written: prefill [0, P+1), steps up to
+    # prompt_lens[b] + max_len - 1 <= P + max_len - 1
+    caches = init_cache(model, b, p_bucket + max_len,
+                        dtype=model.dtype or jnp.float32)
+    logits, caches = model.apply(
+        {"params": params}, prefix, genre_ids, caches, prompt_lens,
+        method=MusicTransformer.prefill)
+
+    def sample(kd, logits):
+        return _rowwise_categorical(
+            kd, filter_logits_traced(logits, temperature, top_k, top_p,
+                                     vocab_mask))
+
+    tok0 = sample(keys_data[:, 0], logits)
+
+    def body(carry, xs):
+        caches, token = carry
+        t, kd_t = xs
+        # row b's token number t-1 sits at absolute position
+        # prompt_lens[b] + t (BOS at 0, prompt at [1, pl], samples after)
+        logits, caches = model.apply(
+            {"params": params}, token, genre_ids, caches, prompt_lens + t,
+            method=MusicTransformer.step_rows)
+        nxt = sample(kd_t, logits)
+        return (caches, nxt), nxt
+
+    if max_len > 1:
+        ts = jnp.arange(1, max_len, dtype=jnp.int32)
+        kds = jnp.moveaxis(keys_data[:, 1:], 1, 0)  # (max_len-1, B, KD)
+        (_, _), rest = jax.lax.scan(body, (caches, tok0), (ts, kds))
+        rest = jnp.transpose(rest, (1, 0))
+        return jnp.concatenate([tok0[:, None], rest], axis=1)
+    return tok0[:, None]
 
 
 def generate_tokens_transformer(

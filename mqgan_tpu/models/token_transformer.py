@@ -49,13 +49,25 @@ def _rope_angles(positions: jax.Array, head_dim: int) -> Tuple[jax.Array, jax.Ar
 def _apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     """Rotate pairs (x[..., :half], x[..., half:]) by the position angle.
 
-    x: (B, T, H, D); cos/sin: (T, D//2) broadcast over batch and heads.
+    x: (B, T, H, D); cos/sin: (T, D//2) shared positions broadcast over
+    batch and heads, or (B, T, D//2) per-row positions (the decode path
+    where each batch row sits at its own absolute position).
+
+    The rotation runs in fp32 regardless of the module dtype: cos/sin are
+    fp32 tables and bf16 rotation loses positional precision at large
+    absolute positions (the angles grow with position), so cast up,
+    rotate, cast back.
     """
     half = x.shape[-1] // 2
-    x1, x2 = x[..., :half], x[..., half:]
-    cos = cos[None, :, None, :].astype(x.dtype)
-    sin = sin[None, :, None, :].astype(x.dtype)
-    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    if cos.ndim == 2:  # (T, half) -> (1, T, half)
+        cos, sin = cos[None], sin[None]
+    cos = cos[:, :, None, :]  # (B|1, T, 1, half)
+    sin = sin[:, :, None, :]
+    xf = x.astype(jnp.float32)
+    x1, x2 = xf[..., :half], xf[..., half:]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos],
+                          axis=-1)
+    return out.astype(x.dtype)
 
 
 class CausalSelfAttention(nn.Module):
@@ -88,11 +100,13 @@ class CausalSelfAttention(nn.Module):
 
     def _attend(self, q: jax.Array, k: jax.Array, v: jax.Array,
                 mask: jax.Array) -> jax.Array:
-        """q: (B,Tq,H,D), k/v: (B,Tk,H,D), mask: (Tq,Tk) True=visible."""
+        """q: (B,Tq,H,D), k/v: (B,Tk,H,D), mask True=visible — shaped
+        (Tq,Tk) shared, or (B,Tq,Tk) per-row (the per-row decode path)."""
         scale = (q.shape[-1]) ** -0.5
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(mask[None, None], scores, -jnp.inf)
+        mask = mask[None, None] if mask.ndim == 2 else mask[:, None]
+        scores = jnp.where(mask, scores, -jnp.inf)
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd",
                          probs.astype(v.dtype), v)
@@ -138,6 +152,33 @@ class CausalSelfAttention(nn.Module):
                            cache["v"].astype(v.dtype), mask)
         return out, cache
 
+    def step_rows(self, x: jax.Array, cache: Cache,
+                  idx: jax.Array) -> Tuple[jax.Array, Cache]:
+        """One decode step with PER-ROW absolute positions: x (B, 1, E),
+        idx (B,) int32 — row b's token sits at position idx[b]. This is
+        what lets a coalesced serving batch mix prompt lengths: each row
+        rotates, writes its KV, and masks at its own position
+        (models/lm_sampling.py generate_tokens_*_served)."""
+        q = self._heads(self.wq(x))
+        k = self._heads(self.wk(x))
+        v = self._heads(self.wv(x))
+        cos, sin = _rope_angles(idx[:, None], q.shape[-1])  # (B, 1, half)
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)
+        s = cache["k"].shape[1]
+        at = jnp.arange(s)[None, :] == idx[:, None]  # (B, S)
+        cache = {
+            "k": jnp.where(at[..., None, None],
+                           k.astype(cache["k"].dtype), cache["k"]),
+            "v": jnp.where(at[..., None, None],
+                           v.astype(cache["v"].dtype), cache["v"]),
+        }
+        mask = (jnp.arange(s)[None, None, :]
+                <= idx[:, None, None])  # (B, 1, S)
+        out = self._attend(q, cache["k"].astype(k.dtype),
+                           cache["v"].astype(v.dtype), mask)
+        return out, cache
+
 
 class TransformerBlock(nn.Module):
     """Pre-LN block: x + attn(ln(x)); x + mlp(ln(x))."""
@@ -173,6 +214,12 @@ class TransformerBlock(nn.Module):
     def step(self, x: jax.Array, cache: Cache,
              idx: jax.Array) -> Tuple[jax.Array, Cache]:
         a, cache = self.attn.step(self.ln1(x), cache, idx)
+        x = x + a
+        return x + self._mlp(self.ln2(x)), cache
+
+    def step_rows(self, x: jax.Array, cache: Cache,
+                  idx: jax.Array) -> Tuple[jax.Array, Cache]:
+        a, cache = self.attn.step_rows(self.ln1(x), cache, idx)
         x = x + a
         return x + self._mlp(self.ln2(x)), cache
 
@@ -229,15 +276,25 @@ class MusicTransformer(nn.Module):
     # -- decode-path methods (invoked via apply(..., method=...)) --------
 
     def prefill(self, tokens: jax.Array, genre_ids: jax.Array,
-                caches: List[Cache]) -> Tuple[jax.Array, List[Cache]]:
+                caches: List[Cache],
+                last_idx: jax.Array | None = None,
+                ) -> Tuple[jax.Array, List[Cache]]:
         """Batched prefix pass filling every layer's KV cache at
-        positions [0, T). Returns (last-position logits (B, V), caches)."""
+        positions [0, T). Returns (logits (B, V), caches) — at the LAST
+        position, or per-row at ``last_idx`` (B,) when given (row b's
+        prefix ends at position last_idx[b]; positions past it are
+        right-padding the causal mask never lets valid queries see)."""
         x = self._embed(tokens, genre_ids)
         new = []
         for blk, cache in zip(self.blocks, caches):
             x, cache = blk.prefill(x, cache)
             new.append(cache)
-        return self.proj(self.ln_f(x[:, -1])), new
+        if last_idx is None:
+            h = x[:, -1]
+        else:
+            h = jnp.take_along_axis(
+                x, last_idx.astype(jnp.int32)[:, None, None], axis=1)[:, 0]
+        return self.proj(self.ln_f(h)), new
 
     def step(self, token: jax.Array, genre_ids: jax.Array,
              caches: List[Cache],
@@ -248,6 +305,19 @@ class MusicTransformer(nn.Module):
         new = []
         for blk, cache in zip(self.blocks, caches):
             x, cache = blk.step(x, cache, idx)
+            new.append(cache)
+        return self.proj(self.ln_f(x[:, 0])), new
+
+    def step_rows(self, token: jax.Array, genre_ids: jax.Array,
+                  caches: List[Cache],
+                  idx: jax.Array) -> Tuple[jax.Array, List[Cache]]:
+        """``step`` with per-row absolute positions idx (B,) — the
+        mixed-prompt-length decode path (CausalSelfAttention.step_rows).
+        Equals ``step`` when every row shares the same position."""
+        x = self._embed(token[:, None], genre_ids)
+        new = []
+        for blk, cache in zip(self.blocks, caches):
+            x, cache = blk.step_rows(x, cache, idx)
             new.append(cache)
         return self.proj(self.ln_f(x[:, 0])), new
 

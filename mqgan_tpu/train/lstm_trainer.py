@@ -235,23 +235,14 @@ def main(argv=None):
     val_idx, train_idx = perm[:val_size].tolist(), perm[val_size:].tolist()
     print(f"Split: {len(train_idx)} train / {len(val_idx)} val")
 
-    if args.arch == "transformer":
-        from mqgan_tpu.models.token_transformer import MusicTransformer
+    from mqgan_tpu.models.token_lm import build_token_lm
 
-        model = MusicTransformer(
-            vocab_size=args.vocab_size, num_genres=args.num_genres,
-            emb_dim=args.emb_dim, n_layers=args.n_layers,
-            n_heads=args.n_heads, mlp_ratio=args.mlp_ratio,
-            pad_id=args.pad_id,
-            dtype=jnp.bfloat16 if args.bf16 else None,
-        )
-    else:
-        model = MusicLSTM(
-            vocab_size=args.vocab_size, num_genres=args.num_genres,
-            emb_dim=args.emb_dim, lstm_hid=args.lstm_hid,
-            lstm_layers=args.lstm_layers, pad_id=args.pad_id,
-            dtype=jnp.bfloat16 if args.bf16 else None,
-        )
+    # both archs default to dropout 0.1 in training (reference
+    # train_music_lstm_v2.py:158; deploy paths rebuild with 0.0)
+    model = build_token_lm(
+        vars(args), dropout=0.1,
+        dtype=jnp.bfloat16 if args.bf16 else None,
+    )
     tok0, gen0, len0 = next(batches(ds, train_idx, args.batch_size,
                                     args.pad_id, None))
     params = model.init(jax.random.key(args.seed), jnp.asarray(tok0[:, :-1]),

@@ -1,5 +1,6 @@
 """LM export tests: StableHLO generation/scoring artifacts round-trip
-through ExportedMusicLM with exact parity vs the in-process sampler."""
+through ExportedMusicLM with exact per-row parity vs the in-process
+samplers — for BOTH token-LM architectures (the v2 per-row programs)."""
 
 import numpy as np
 import pytest
@@ -8,83 +9,98 @@ import jax
 import jax.numpy as jnp
 
 from mqgan_tpu.models.lm_sampling import (generate_tokens,
-                                          generate_tokens_served,
+                                          generate_tokens_transformer,
                                           score_tokens)
 from mqgan_tpu.models.music_lstm import MusicLSTM
+from mqgan_tpu.models.token_transformer import MusicTransformer
 
 V, G = 30, 3
 
 
-@pytest.fixture(scope="module")
-def lm():
-    model = MusicLSTM(vocab_size=V, num_genres=G, emb_dim=8, lstm_hid=12,
-                      lstm_layers=2, pad_id=0, dropout=0.0)
+@pytest.fixture(scope="module", params=["lstm", "transformer"])
+def lm(request):
+    if request.param == "lstm":
+        model = MusicLSTM(vocab_size=V, num_genres=G, emb_dim=8,
+                          lstm_hid=12, lstm_layers=2, pad_id=0, dropout=0.0)
+        static_fn = generate_tokens
+    else:
+        model = MusicTransformer(vocab_size=V, num_genres=G, emb_dim=16,
+                                 n_layers=2, n_heads=2, mlp_ratio=2,
+                                 pad_id=0, dropout=0.0)
+        static_fn = generate_tokens_transformer
     tok0 = jnp.zeros((1, 4), jnp.int32)
     params = model.init(jax.random.key(0), tok0,
                         jnp.zeros((1,), jnp.int32), None)["params"]
-    return model, params
+    return request.param, model, params, static_fn
 
 
 @pytest.fixture(scope="module")
 def lm_export_dir(lm, tmp_path_factory):
     from mqgan_tpu.deploy.export_lm import export_music_lm
 
-    model, params = lm
-    out = str(tmp_path_factory.mktemp("lm_export"))
-    # verify=True runs a non-bucket-shape generate + score internally
+    arch, model, params, _ = lm
+    out = str(tmp_path_factory.mktemp(f"lm_export_{arch}"))
+    # verify=True runs non-bucket-shape generate (incl. a mixed-length
+    # per-row batch) + score internally
     export_music_lm(model, params, out, gen_buckets=(16, 24),
                     prompt_buckets=(1, 8), score_buckets=(12,),
                     lm_args={"note": "test"}, verify=True)
     return out
 
 
-def test_exported_generate_matches_sampler(lm, lm_export_dir):
-    """Exported generation is token-exact with the in-process sampler at
-    the covering bucket (trim semantics = http_lm's length grid)."""
+def test_exported_generate_rows_match_solo_sampler(lm, lm_export_dir):
+    """Exported generation is token-exact PER ROW with solo in-process
+    static-sampler runs at the covering bucket (trim semantics =
+    http_lm's length grid; scalar seed s derives row seeds s + b)."""
     from mqgan_tpu.deploy.export_lm import ExportedMusicLM
 
-    model, params = lm
+    arch, model, params, static_fn = lm
     rt = ExportedMusicLM(lm_export_dir)
     assert rt.vocab_size == V and rt.num_genres == G
+    assert rt.arch == arch
     assert rt.lm_args == {"note": "test"}
     genres = np.asarray([0, 2, 1], np.int32)
 
     out = rt.generate(genres, 13, seed=42, temperature=0.8, top_k=6,
                       top_p=0.9, forbidden=(0, 1))
-    ref = generate_tokens(  # covering bucket is 16; trim to 13
-        model, params, jnp.asarray(genres), jax.random.key(42),
-        max_len=16, temperature=0.8, top_k=6, top_p=0.9,
-        forbidden_tokens=(0, 1))
-    np.testing.assert_array_equal(out, np.asarray(ref)[:, :13])
+    for b in range(3):
+        ref = static_fn(  # covering bucket is 16; trim to 13
+            model, params, jnp.asarray(genres[b: b + 1]),
+            jax.random.key(42 + b), max_len=16, temperature=0.8, top_k=6,
+            top_p=0.9, forbidden_tokens=(0, 1))
+        np.testing.assert_array_equal(out[b], np.asarray(ref)[0, :13])
 
 
-def test_exported_generate_prompt_bucketing(lm, lm_export_dir):
-    """A 5-token prompt rides the P=8 program; parity with the direct
-    dynamic sampler at the same buckets."""
+def test_exported_mixed_prompt_rows(lm, lm_export_dir):
+    """generate_rows: one dispatch mixing unconditional and different-
+    length prompts (padded to the P=8 bucket) equals per-row solo runs —
+    the continuous-batching primitive."""
     from mqgan_tpu.deploy.export_lm import ExportedMusicLM
 
-    model, params = lm
+    arch, model, params, static_fn = lm
     rt = ExportedMusicLM(lm_export_dir)
-    genres = np.asarray([1, 0], np.int32)
-    prompt = np.asarray([[3, 4, 5, 6, 7], [9, 8, 7, 6, 5]], np.int32)
+    genres = np.asarray([1, 0, 2], np.int32)
+    seeds = np.asarray([5, 11, 23], np.int32)
+    prompts = [None, np.asarray([3, 4, 5], np.int32),
+               np.asarray([9, 8, 7, 6, 5], np.int32)]
 
-    out = rt.generate(genres, 24, seed=5, temperature=1.1, top_k=4,
-                      prompt=prompt)
-    mask = np.ones((V,), bool)
-    prompt_pad = np.zeros((2, 8), np.int32)
-    prompt_pad[:, :5] = prompt
-    ref = generate_tokens_served(
-        model, params, jnp.asarray(genres), jnp.int32(5),
-        jnp.asarray(prompt_pad), jnp.int32(5), jnp.float32(1.1),
-        jnp.int32(4), jnp.float32(0.0), jnp.asarray(mask), max_len=24)
-    np.testing.assert_array_equal(out, np.asarray(ref))
+    out = rt.generate_rows(genres, seeds, 24, prompts=prompts,
+                           temperature=1.1, top_k=4)
+    assert out.shape == (3, 24)
+    for b in range(3):
+        p = None if prompts[b] is None else jnp.asarray(prompts[b][None])
+        ref = static_fn(model, params, jnp.asarray(genres[b: b + 1]),
+                        jax.random.key(int(seeds[b])), max_len=24,
+                        temperature=1.1, top_k=4, prompt=p)
+        np.testing.assert_array_equal(out[b], np.asarray(ref)[0],
+                                      err_msg=f"row {b}")
 
 
 def test_exported_score_matches_direct(lm, lm_export_dir, rng):
     """Exported scoring == score_tokens, including pad-to-bucket rows."""
     from mqgan_tpu.deploy.export_lm import ExportedMusicLM
 
-    model, params = lm
+    _, model, params, _ = lm
     rt = ExportedMusicLM(lm_export_dir)
     tokens = rng.integers(1, V, (4, 9)).astype(np.int32)
     tokens[2, 6:] = 0  # a right-padded row
@@ -105,3 +121,24 @@ def test_exported_over_bucket_rejected(lm_export_dir):
         rt.generate(np.zeros((1,), np.int32), 25, seed=0)
     with pytest.raises(ValueError, match="exceeds the largest"):
         rt.score(np.zeros((1, 13), np.int32), np.zeros((1,), np.int32))
+
+
+def test_v1_manifest_rejected(lm_export_dir, tmp_path):
+    """Pre-per-row artifacts fail loudly with a re-export hint instead of
+    mis-calling the programs."""
+    import json
+    import os
+    import shutil
+
+    from mqgan_tpu.deploy.export_lm import LM_MANIFEST_NAME, ExportedMusicLM
+
+    old = tmp_path / "v1"
+    shutil.copytree(lm_export_dir, old)
+    mpath = os.path.join(old, LM_MANIFEST_NAME)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest.pop("version")
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    with pytest.raises(ValueError, match="re-export"):
+        ExportedMusicLM(str(old))

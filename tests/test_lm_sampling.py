@@ -1,5 +1,6 @@
 """Autoregressive LM sampling: recurrence parity with the batch forward,
-sampling properties, prompt continuation."""
+sampling properties, prompt continuation, and the served samplers'
+per-row solo-equality contract (both archs)."""
 
 import numpy as np
 import pytest
@@ -9,8 +10,11 @@ import jax.numpy as jnp
 
 from mqgan_tpu.models.lm_sampling import (generate_tokens,
                                           generate_tokens_served,
+                                          generate_tokens_transformer,
+                                          generate_tokens_transformer_served,
                                           greedy_next_logits, score_tokens)
 from mqgan_tpu.models.music_lstm import MusicLSTM
+from mqgan_tpu.models.token_transformer import MusicTransformer
 
 V, G = 30, 3
 
@@ -23,6 +27,28 @@ def model_and_params():
     genres = jnp.asarray([0, 2])
     variables = model.init(jax.random.key(0), tokens, genres, None)
     return model, variables["params"]
+
+
+@pytest.fixture(scope="module")
+def transformer_and_params():
+    model = MusicTransformer(vocab_size=V, num_genres=G, emb_dim=16,
+                             n_layers=2, n_heads=2, mlp_ratio=2, pad_id=0,
+                             dropout=0.0)
+    tokens = jnp.asarray(np.random.default_rng(0).integers(1, V, (2, 6)))
+    genres = jnp.asarray([0, 2])
+    variables = model.init(jax.random.key(0), tokens, genres, None)
+    return model, variables["params"]
+
+
+@pytest.fixture(params=["lstm", "transformer"])
+def arch_kit(request, model_and_params, transformer_and_params):
+    """(model, params, static sampler, served sampler) per architecture —
+    the served tests run identically over both (models/token_lm.py's
+    shared-signature contract)."""
+    if request.param == "lstm":
+        return (*model_and_params, generate_tokens, generate_tokens_served)
+    return (*transformer_and_params, generate_tokens_transformer,
+            generate_tokens_transformer_served)
 
 
 def test_stepwise_matches_batch_forward(model_and_params, rng):
@@ -105,33 +131,40 @@ def test_prompt_continuation(model_and_params, rng):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
 
 
-def _served(model, params, genres, seed, *, max_len, prompt=None,
-            prompt_len=None, temperature=1.0, top_k=0, top_p=0.0,
+def _served(served_fn, model, params, genres, seeds, *, max_len,
+            prompts=None, temperature=1.0, top_k=0, top_p=0.0,
             forbidden=(), p_bucket=None):
-    """Call the dynamic-arg sampler the way the exported runtime does."""
+    """Call a served sampler the way the exported runtime / http batcher
+    does: per-row seeds, per-row (mixed-length) prompts right-padded to
+    one bucket, every control traced."""
     b = genres.shape[0]
-    if prompt is None:
-        prompt_arr = jnp.zeros((b, p_bucket or 1), jnp.int32)
-        plen = 0
-    else:
-        p_bucket = p_bucket or prompt.shape[1]
-        pad = p_bucket - prompt.shape[1]
-        prompt_arr = jnp.pad(prompt.astype(jnp.int32), ((0, 0), (0, pad)))
-        plen = prompt.shape[1] if prompt_len is None else prompt_len
+    prompts = prompts if prompts is not None else [None] * b
+    p_lens = np.asarray([0 if p is None else len(p) for p in prompts],
+                        np.int32)
+    p_bucket = p_bucket or max(1, int(p_lens.max()))
+    prompt_arr = np.zeros((b, p_bucket), np.int32)
+    for i, p in enumerate(prompts):
+        if p is not None:
+            prompt_arr[i, : len(p)] = np.asarray(p, np.int32)
     mask = np.ones((V,), bool)
     for t in forbidden:
         mask[t] = False
-    return generate_tokens_served(
-        model, params, genres, jnp.int32(seed), prompt_arr,
-        jnp.int32(plen), jnp.float32(temperature), jnp.int32(top_k),
+    return served_fn(
+        model, params, genres, jnp.asarray(seeds, jnp.int32),
+        jnp.asarray(prompt_arr), jnp.asarray(p_lens),
+        jnp.float32(temperature), jnp.int32(top_k),
         jnp.float32(top_p), jnp.asarray(mask), max_len=max_len)
 
 
-def test_served_matches_static_unconditional(model_and_params):
-    """The dynamic-argument (exportable) sampler is token-exact with
-    generate_tokens: same seed, same controls -> same stream."""
-    model, params = model_and_params
+def test_served_rows_match_solo_unconditional(arch_kit):
+    """The served sampler's per-row contract: row b of a batched call is
+    token-exact with a SOLO static-sampler run at rng=key(seeds[b]) —
+    the invariant that makes continuous batching invisible to clients.
+    Checked across the sampling-control grid (the dynamic top-k/top-p
+    gates reduce to the static filters' exact thresholds)."""
+    model, params, static_fn, served_fn = arch_kit
     genres = jnp.asarray([0, 1, 2])
+    seeds = [11, 12, 13]
     for kwargs in (
         dict(temperature=1.0),
         dict(temperature=0.7, top_k=5),
@@ -140,39 +173,60 @@ def test_served_matches_static_unconditional(model_and_params):
         dict(temperature=1.0, forbidden=(0, 1, 2, V - 1)),
     ):
         forbidden = kwargs.pop("forbidden", ())
-        ref = generate_tokens(model, params, genres, jax.random.key(11),
-                              max_len=20, forbidden_tokens=forbidden,
-                              **kwargs)
-        out = _served(model, params, genres, 11, max_len=20,
-                      forbidden=forbidden, **kwargs)
-        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref),
-                                      err_msg=str(kwargs))
+        out = np.asarray(_served(served_fn, model, params, genres, seeds,
+                                 max_len=20, forbidden=forbidden, **kwargs))
+        for b, s in enumerate(seeds):
+            ref = static_fn(model, params, genres[b: b + 1],
+                            jax.random.key(s), max_len=20,
+                            forbidden_tokens=forbidden, **kwargs)
+            np.testing.assert_array_equal(
+                out[b], np.asarray(ref)[0], err_msg=f"{kwargs} row {b}")
 
 
-def test_served_matches_static_with_prompt(model_and_params, rng):
-    """Prompt continuation parity, including a prompt bucket WIDER than
-    the actual prompt (the runtime pads prompts up to an exported
-    bucket; prompt_len masks the tail)."""
-    model, params = model_and_params
-    genres = jnp.asarray([1, 0])
-    prompt = jnp.asarray(rng.integers(1, V, (2, 5)))
-    ref = generate_tokens(model, params, genres, jax.random.key(5),
-                          max_len=12, prompt=prompt, temperature=0.8,
-                          top_k=6)
-    exact = _served(model, params, genres, 5, max_len=12, prompt=prompt,
-                    temperature=0.8, top_k=6)
-    np.testing.assert_array_equal(np.asarray(exact), np.asarray(ref))
-    padded = _served(model, params, genres, 5, max_len=12, prompt=prompt,
-                     temperature=0.8, top_k=6, p_bucket=9)
-    np.testing.assert_array_equal(np.asarray(padded), np.asarray(ref))
+def test_served_mixed_prompts_match_solo(arch_kit, rng):
+    """ONE dispatch mixing unconditional, short-prompt, and long-prompt
+    rows (all padded to one prompt bucket) reproduces each row's solo
+    continuation exactly — mixed-length prompts share a batch."""
+    model, params, static_fn, served_fn = arch_kit
+    genres = jnp.asarray([1, 0, 2])
+    seeds = [5, 9, 21]
+    prompts = [None, rng.integers(1, V, (3,)).astype(np.int32),
+               rng.integers(1, V, (7,)).astype(np.int32)]
+    out = np.asarray(_served(served_fn, model, params, genres, seeds,
+                             max_len=12, prompts=prompts, temperature=0.8,
+                             top_k=6, p_bucket=9))
+    for b, s in enumerate(seeds):
+        p = (None if prompts[b] is None
+             else jnp.asarray(prompts[b][None]))
+        ref = static_fn(model, params, genres[b: b + 1], jax.random.key(s),
+                        max_len=12, prompt=p, temperature=0.8, top_k=6)
+        np.testing.assert_array_equal(out[b], np.asarray(ref)[0],
+                                      err_msg=f"row {b}")
 
 
-def test_served_vocab_mask_restricts_support(model_and_params):
-    model, params = model_and_params
+def test_served_batch_invariance(arch_kit, rng):
+    """Coalescing cannot change a row's tokens: the same (seed, genre,
+    prompt) row produces identical output whether dispatched alone or
+    inside a batch of unrelated rows."""
+    model, params, _, served_fn = arch_kit
+    prompt = rng.integers(1, V, (4,)).astype(np.int32)
+    solo = np.asarray(_served(served_fn, model, params,
+                              jnp.asarray([2]), [17], max_len=10,
+                              prompts=[prompt], p_bucket=6,
+                              temperature=0.9, top_k=4))
+    batched = np.asarray(_served(
+        served_fn, model, params, jnp.asarray([0, 2, 1]), [3, 17, 8],
+        max_len=10, prompts=[None, prompt, rng.integers(1, V, (6,))],
+        p_bucket=6, temperature=0.9, top_k=4))
+    np.testing.assert_array_equal(batched[1], solo[0])
+
+
+def test_served_vocab_mask_restricts_support(arch_kit):
+    model, params, _, served_fn = arch_kit
     genres = jnp.asarray([0, 1])
     forbidden = tuple(range(0, V, 2))  # ban every even token
-    out = np.asarray(_served(model, params, genres, 3, max_len=25,
-                             forbidden=forbidden))
+    out = np.asarray(_served(served_fn, model, params, genres, [3, 4],
+                             max_len=25, forbidden=forbidden))
     assert (out % 2 == 1).all()
 
 
