@@ -392,7 +392,7 @@ def bench_token_lm(hoisted: bool = True):
 
 def bench_token_transformer(b: int = 32, l: int = 512):
     """Config 6t: transformer token-LM train step (models/
-    token_transformer.py; emb 512, 6 layers, 8 heads, mlp x4 ~= 19.4M
+    token_transformer.py; emb 512, 6 layers, 8 heads, mlp x4 ~= 19.9M
     params vs the LSTM's 16.4M) at the SAME batch/length/precision/
     optimizer as config 6 — the MXU-parallel architecture A/B against
     the recurrence-bound LSTM."""
@@ -560,8 +560,10 @@ def bench_lm_generate_served(b: int = 64, gen_len: int = 512):
 
     @jax.jit
     def generate(seed):
+        # per-row v2 signature: row seeds seed+[0..b), prompt_lens (B,)
         toks = generate_tokens_served(
-            model, params, genres, seed, prompt, jnp.int32(0),
+            model, params, genres, seed + jnp.arange(b, dtype=jnp.int32),
+            prompt, jnp.zeros((b,), jnp.int32),
             jnp.float32(1.0), jnp.int32(64), jnp.float32(0.0), mask,
             max_len=gen_len)
         return toks, jnp.sum(toks)

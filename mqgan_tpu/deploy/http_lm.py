@@ -2,13 +2,14 @@
 
 Net-new serving surface: the reference ships no generation code at all for
 its LSTM LM (train_music_lstm_v2.py trains and checkpoints only); here the
-sampler (models/lm_sampling.py) plus optionally the exported codec serve
-genre-conditioned continuation over HTTP:
+served samplers (models/lm_sampling.py) plus optionally the exported codec
+serve genre-conditioned continuation over HTTP:
 
-  GET  /healthz    -> JSON {ok, vocab_size, num_genres, has_codec, ...}
+  GET  /healthz    -> JSON {ok, vocab_size, num_genres, arch, ...}
+  GET  /statz      -> JSON continuous-batching stats
   POST /generate   JSON body:
       {"genre": 0, "length": 512,            # required
-       "n": 1,                               # samples (batched generation)
+       "n": 1,                               # samples (n batched rows)
        "temperature": 1.0, "top_k": 0, "top_p": 0.0,
        "seed": 1234,                         # omit -> fresh entropy
        "prompt_tokens": [..],                # optional continuation prefix
@@ -16,18 +17,35 @@ genre-conditioned continuation over HTTP:
     -> .npy (n, length) int32 tokens, or .npz {tokens, mel} with decode
        (mel (n, length, mel_channels) from the exported codec).
 
+CONTINUOUS BATCHING (round-4): concurrent /generate requests no longer
+serialize behind a lock — a background worker coalesces every pending
+request whose (prompt-bucket, gen-bucket, temperature, top_k, top_p)
+group matches into ONE dispatch of the per-row served sampler
+(generate_tokens_served / generate_tokens_transformer_served): per-row
+seeds and prompt lengths ride one batch, so mixed-length prompts share
+the MXU. Because the served samplers are row-for-row solo-exact
+(tests/test_lm_sampling.py), coalescing is invisible to clients — each
+response is bit-identical to the same request served alone. This is the
+StreamingCodecServer pattern (deploy/streaming_server.py) applied to
+generation.
+
+Both token-LM architectures serve identically (models/token_lm.py
+resolves `arch` from the run's best.json or the export manifest).
+
 Design notes:
-* requested lengths round up to a `length_grid` multiple before the
-  sampling scan and trim after, so the compiled-shape set stays bounded;
+* requested lengths round up to a `length_grid` multiple (checkpoint
+  backend) or the exported generation buckets before the sampling scan
+  and trim after, so the compiled-shape set stays bounded; prompts
+  likewise ride a small bucket grid;
 * specials (pad/BOS and any id past the codec codebook) are masked out of
   the sampling distribution whenever a codec is attached, so every sampled
   stream decodes meaningfully (same policy as examples/music_continuation);
-* one generation runs at a time (a lock serializes requests) — generation
-  is a long device scan, and unbounded concurrent scans would only fight
-  for the chip.
+* a request with n samples occupies n rows with per-row seeds
+  seed, seed+1, ..., seed+n-1 (the ExportedMusicLM.generate policy).
 
 CLI:  python -m mqgan_tpu.deploy.http_lm --lm_run RUN_DIR
       [--codec_dir EXPORT] [--port 8767] [--max_length 8192]
+      [--max_batch 16] [--max_delay_ms 3]
   or  --lm_export DIR instead of --lm_run: serve an AOT-exported LM
       artifact (deploy/export_lm.py) — generation lengths then ride the
       exported (prompt, generation) buckets instead of --length_grid,
@@ -39,24 +57,156 @@ from __future__ import annotations
 import json
 import os
 import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
 
 from mqgan_tpu.deploy.http_server import _HTTPError, _npy_bytes, _npz_bytes
+from mqgan_tpu.deploy.server import ServerStats
 
 MAX_SAMPLES = 16
+
+
+@dataclass
+class _GenReq:
+    """One /generate call, expanded to its batch rows at flush time."""
+
+    key: tuple  # (p_bucket, l_bucket, temperature, top_k, top_p)
+    genre: int
+    seed: int
+    n: int
+    length: int
+    prompt: Optional[np.ndarray]  # (P,) int32 or None
+    future: Future = field(default_factory=Future)
+    t_submit: float = field(default_factory=time.monotonic)
+
+
+class _LMBatcher:
+    """Coalesce same-group generation requests into one batched dispatch.
+
+    rows_fn(genres (B,), seeds (B,), prompts list, length, temperature,
+    top_k, top_p) -> (B, length) int32 — the per-row primitive both
+    backends expose. Grouping is by (prompt-bucket, gen-bucket, sampling
+    params); per-row seeds/prompt lengths mean any rows WITHIN a group
+    share one compiled dispatch. Same linger-then-flush policy as
+    deploy/server.py / streaming_server.py.
+    """
+
+    def __init__(self, rows_fn, max_batch: int, max_delay_s: float):
+        self.rows_fn = rows_fn
+        self.max_batch = int(max_batch)
+        self.max_delay_s = float(max_delay_s)
+        self.stats = ServerStats()
+        self._queue: deque[_GenReq] = deque()
+        self._cond = threading.Condition()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, req: _GenReq) -> Future:
+        with self._cond:
+            if self._closed:
+                raise RuntimeError("server is closed")
+            self._queue.append(req)
+            self.stats.requests += 1
+            self.stats.queued += 1
+            self._cond.notify_all()
+        return req.future
+
+    def close(self):
+        with self._cond:
+            self._closed = True
+            self._cond.notify_all()
+        self._worker.join()
+        for r in self._queue:
+            if not r.future.done():
+                r.future.set_exception(RuntimeError("server closed"))
+
+    # ------------------------------------------------------------------
+    def _rows_for(self, key) -> int:
+        return sum(r.n for r in self._queue if r.key == key)
+
+    def _run(self):
+        while True:
+            with self._cond:
+                while not self._queue and not self._closed:
+                    self._cond.wait()
+                if not self._queue and self._closed:
+                    return
+                head = self._queue[0]
+                deadline = head.t_submit + self.max_delay_s
+                while (self._rows_for(head.key) < self.max_batch
+                       and not self._closed):
+                    remaining = deadline - time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cond.wait(timeout=remaining)
+                batch, rows, rest = [], 0, deque()
+                while self._queue:
+                    r = self._queue.popleft()
+                    # the head always dispatches (even if its n alone
+                    # exceeds max_batch) so the queue can never stall
+                    if (r.key == head.key
+                            and (not batch
+                                 or rows + r.n <= self.max_batch)):
+                        batch.append(r)
+                        rows += r.n
+                    else:
+                        rest.append(r)
+                self._queue = rest
+                self.stats.queued -= len(batch)
+                if rest:
+                    # other groups (or overflow) are still pending
+                    self._cond.notify_all()
+            if batch:
+                self._flush(head.key, batch)
+
+    def _flush(self, key, batch):
+        p_bucket, l_bucket, temperature, top_k, top_p = key
+        try:
+            genres, seeds, prompts = [], [], []
+            for r in batch:
+                for i in range(r.n):
+                    genres.append(r.genre)
+                    seeds.append(np.int32(np.uint32(r.seed + i)))
+                    prompts.append(r.prompt)
+            out = self.rows_fn(
+                np.asarray(genres, np.int32), np.asarray(seeds, np.int32),
+                prompts, p_bucket, l_bucket, temperature, top_k, top_p)
+            out = np.asarray(out).astype(np.int32)
+            now = time.monotonic()
+            with self._cond:
+                self.stats.batches += 1
+                self.stats.rows += len(genres)
+                for r in batch:
+                    self.stats.latencies_ms.append(
+                        (now - r.t_submit) * 1e3)
+            row = 0
+            for r in batch:
+                r.future.set_result(out[row: row + r.n, : r.length])
+                row += r.n
+        except Exception as e:  # noqa: BLE001 — fail the whole batch loudly
+            for r in batch:
+                if not r.future.done():
+                    r.future.set_exception(e)
 
 
 class LMHTTPService:
     def __init__(self, lm_run: Optional[str] = None,
                  codec_dir: Optional[str] = None,
                  *, length_grid: int = 128, max_length: int = 8192,
-                 lm_export: Optional[str] = None):
+                 lm_export: Optional[str] = None,
+                 prompt_grid: int = 16, max_batch: int = MAX_SAMPLES,
+                 max_delay_ms: float = 3.0):
         """Serve from a training run dir (checkpoint + flax model) OR
         from an AOT-exported artifact dir (deploy/export_lm.py) — the
-        latter needs no checkpoint or model code on the serving host."""
+        latter needs no checkpoint or model code on the serving host.
+        Either backend serves both token-LM architectures."""
         if (lm_run is None) == (lm_export is None):
             raise ValueError("pass exactly one of lm_run / lm_export")
         self.exported = None
@@ -65,6 +215,7 @@ class LMHTTPService:
 
             self.exported = ExportedMusicLM(lm_export)
             m = self.exported.manifest
+            self.arch = self.exported.arch
             self.lm_args = {
                 "vocab_size": m["vocab_size"],
                 "num_genres": m["num_genres"],
@@ -74,18 +225,23 @@ class LMHTTPService:
             max_length = min(max_length, self.exported.gen_buckets[-1])
         else:
             from mqgan_tpu.deploy.export_lm import load_lm_from_run
+            from mqgan_tpu.models.token_lm import lm_arch, served_sampler
 
             self.model, self.params, self.lm_args = load_lm_from_run(
                 lm_run)
+            self.arch = lm_arch(self.model)
+            self._sampler = served_sampler(self.model)
+            self._jitted = {}  # max_len -> jitted served sampler
         a = self.lm_args
         self.codec = None
+        self._codec_lock = threading.Lock()
         if codec_dir:
             from mqgan_tpu.deploy.runtime import ExportedPreEncoder
 
             self.codec = ExportedPreEncoder(codec_dir)
         self.length_grid = int(length_grid)
+        self.prompt_grid = int(prompt_grid)
         self.max_length = int(max_length)
-        self._lock = threading.Lock()
         # same special-token policy as examples/music_continuation.py: with
         # a codec attached, anything that cannot decode is unsampleable
         forbidden = {a["pad_id"], a["bos_id"]}
@@ -93,11 +249,64 @@ class LMHTTPService:
             forbidden |= set(range(self.codec.codebook_size,
                                    a["vocab_size"]))
         self.forbidden = tuple(sorted(forbidden))
+        self._vocab_mask = np.ones((a["vocab_size"],), bool)
+        self._vocab_mask[list(self.forbidden)] = False
+        self.batcher = _LMBatcher(self._generate_rows, max_batch,
+                                  float(max_delay_ms) / 1e3)
+
+    # ------------------------------------------------------------------
+    def _buckets_for(self, length: int, prompt_len: int) -> tuple[int, int]:
+        """(p_bucket, l_bucket) a request rides — the batcher group axes."""
+        if self.exported is not None:
+            rt = self.exported
+            l_bucket = rt._bucket(rt.gen_buckets, length, "length")
+            p_bucket = rt._bucket(rt.prompt_buckets, max(prompt_len, 1),
+                                  "prompt length")
+        else:
+            grid = self.length_grid
+            l_bucket = -(-length // grid) * grid
+            p_bucket = (1 if prompt_len == 0 else
+                        -(-prompt_len // self.prompt_grid)
+                        * self.prompt_grid)
+        return p_bucket, l_bucket
+
+    def _generate_rows(self, genres, seeds, prompts, p_bucket, l_bucket,
+                       temperature, top_k, top_p) -> np.ndarray:
+        """The batcher's dispatch: per-row (genre, seed, prompt) rows at
+        one (P, L) bucket pair and one sampling-params triple."""
+        if self.exported is not None:
+            return self.exported.generate_rows(
+                genres, seeds, l_bucket, prompts=prompts,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                forbidden=self.forbidden)
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+
+        b = genres.shape[0]
+        p_lens = np.asarray(
+            [0 if p is None else len(p) for p in prompts], np.int32)
+        prompt_arr = np.zeros((b, p_bucket), np.int32)
+        for i, p in enumerate(prompts):
+            if p is not None:
+                prompt_arr[i, : p_lens[i]] = p
+        fn = self._jitted.get(l_bucket)
+        if fn is None:
+            fn = jax.jit(partial(self._sampler, self.model, self.params,
+                                 max_len=l_bucket,
+                                 bos_id=self.lm_args["bos_id"]))
+            self._jitted[l_bucket] = fn
+        out = fn(jnp.asarray(genres), jnp.asarray(seeds),
+                 jnp.asarray(prompt_arr), jnp.asarray(p_lens),
+                 jnp.float32(temperature), jnp.int32(top_k),
+                 jnp.float32(top_p), jnp.asarray(self._vocab_mask))
+        return np.asarray(out)
 
     # ------------------------------------------------------------------
     def health(self) -> dict:
         out = {
             "ok": True,
+            "arch": self.arch,
             "vocab_size": self.lm_args["vocab_size"],
             "num_genres": self.lm_args["num_genres"],
             "bos_id": self.lm_args["bos_id"],
@@ -112,12 +321,10 @@ class LMHTTPService:
             out["codebook_size"] = self.codec.codebook_size
         return out
 
+    def stats(self) -> dict:
+        return self.batcher.stats.summary()
+
     def generate(self, spec: dict) -> tuple[bytes, str]:
-        import jax
-        import jax.numpy as jnp
-
-        from mqgan_tpu.models.lm_sampling import generate_tokens
-
         try:
             genre = int(spec["genre"])
             length = int(spec["length"])
@@ -162,39 +369,23 @@ class LMHTTPService:
         temperature = float(spec.get("temperature", 1.0))
         top_k = int(spec.get("top_k", 0))
         top_p = float(spec.get("top_p", 0.0))
-        with self._lock:
-            if self.exported is not None:
-                tokens = self.exported.generate(
-                    np.full((n,), genre, np.int32), length,
-                    seed=int(np.uint32(seed).astype(np.int32)),
-                    temperature=temperature, top_k=top_k, top_p=top_p,
-                    prompt=(None if prompt_np is None
-                            else np.tile(prompt_np[None], (n, 1))),
-                    forbidden=self.forbidden,
-                ).astype(np.int32)
-            else:
-                prompt = (None if prompt_np is None
-                          else jnp.tile(prompt_np[None], (n, 1)))
-                # bound the compiled-shape set: sample on a length grid,
-                # trim after
-                padded = -(-length // self.length_grid) * self.length_grid
-                tokens = generate_tokens(
-                    self.model, self.params,
-                    jnp.full((n,), genre, jnp.int32),
-                    jax.random.key(int(seed)), max_len=padded,
-                    temperature=temperature, top_k=top_k, top_p=top_p,
-                    bos_id=self.lm_args["bos_id"], prompt=prompt,
-                    forbidden_tokens=self.forbidden,
-                )
-                tokens = np.asarray(tokens)[:, :length].astype(np.int32)
-            if decode:
+
+        p_bucket, l_bucket = self._buckets_for(
+            length, 0 if prompt_np is None else prompt_np.size)
+        req = _GenReq(
+            key=(p_bucket, l_bucket, temperature, top_k, top_p),
+            genre=genre, seed=int(np.uint32(seed)), n=n, length=length,
+            prompt=prompt_np)
+        tokens = self.batcher.submit(req).result()
+        if decode:
+            with self._codec_lock:
                 mel = self.codec.decode(tokens)
-                return (_npz_bytes(tokens=tokens, mel=mel),
-                        "application/x-npz")
+            return (_npz_bytes(tokens=tokens, mel=mel),
+                    "application/x-npz")
         return _npy_bytes(tokens), "application/x-npy"
 
     def close(self):
-        pass  # nothing background to stop; symmetry with the codec services
+        self.batcher.close()
 
 
 class _LMHandler(BaseHTTPRequestHandler):
@@ -217,6 +408,8 @@ class _LMHandler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/healthz":
             self._reply_json(200, self.service.health())
+        elif self.path == "/statz":
+            self._reply_json(200, self.service.stats())
         else:
             self._reply_json(404, {"error": f"unknown path {self.path}"})
 
@@ -286,7 +479,7 @@ def main(argv=None):
     apply_platform_env()
     p = argparse.ArgumentParser(
         description="Serve token-LM generation (and codec decode) over "
-                    "HTTP.")
+                    "HTTP with continuous batching.")
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--lm_run",
                      help="lstm_trainer out_dir (reads best.json + ckpt)")
@@ -300,15 +493,22 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=8767)
     p.add_argument("--max_length", type=int, default=8192)
     p.add_argument("--length_grid", type=int, default=128)
+    p.add_argument("--max_batch", type=int, default=MAX_SAMPLES,
+                   help="max coalesced rows per generation dispatch")
+    p.add_argument("--max_delay_ms", type=float, default=3.0,
+                   help="linger before dispatching a short batch")
     args = p.parse_args(argv)
 
     service = LMHTTPService(args.lm_run, args.codec_dir,
                             length_grid=args.length_grid,
                             max_length=args.max_length,
-                            lm_export=args.lm_export)
+                            lm_export=args.lm_export,
+                            max_batch=args.max_batch,
+                            max_delay_ms=args.max_delay_ms)
     server = LMHTTPServer(service, host=args.host, port=args.port)
-    print(f"serving LM generation from {args.lm_run or args.lm_export} "
-          f"on {server.url} (codec: {args.codec_dir or 'none'})")
+    print(f"serving {service.arch} LM generation from "
+          f"{args.lm_run or args.lm_export} on {server.url} "
+          f"(codec: {args.codec_dir or 'none'})")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
