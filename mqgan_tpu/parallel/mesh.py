@@ -22,40 +22,57 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+DCN_AXIS = "dcn"
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 SEQ_AXIS = "seq"
 
 
 def make_mesh(n_data: int | None = None, n_model: int = 1,
-              n_seq: int = 1, devices=None) -> Mesh:
+              n_seq: int = 1, n_dcn: int = 1, devices=None) -> Mesh:
+    """(dcn, data, model, seq) mesh.
+
+    ``dcn`` is the OUTERMOST axis — the multi-slice / cross-process
+    dimension: on a multi-slice TPU pod (or the 2-process dryrun) each
+    dcn index is one slice/process, so gradient reductions decompose
+    into fast intra-slice (ICI) pieces inside the inner axes plus one
+    cross-slice (DCN) reduction over ``dcn``, which is exactly how XLA
+    lowers a joint P((dcn, data)) batch sharding. With n_dcn=1 (the
+    default, every single-process mesh) the axis is inert."""
     devices = devices if devices is not None else jax.devices()
     if n_data is None:
-        n_data = len(devices) // (n_model * n_seq)
-    assert n_data * n_model * n_seq <= len(devices), (
-        f"mesh {n_data}x{n_model}x{n_seq} needs more than "
+        n_data = len(devices) // (n_model * n_seq * n_dcn)
+    total = n_dcn * n_data * n_model * n_seq
+    assert total <= len(devices), (
+        f"mesh {n_dcn}x{n_data}x{n_model}x{n_seq} needs more than "
         f"{len(devices)} devices"
     )
-    dev_array = np.asarray(
-        devices[: n_data * n_model * n_seq]
-    ).reshape(n_data, n_model, n_seq)
-    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
+    dev_array = np.asarray(devices[:total]).reshape(
+        n_dcn, n_data, n_model, n_seq)
+    return Mesh(dev_array, (DCN_AXIS, DATA_AXIS, MODEL_AXIS, SEQ_AXIS))
+
+
+def batch_axes(mesh: Mesh) -> tuple:
+    """The axes a batch dim shards over: (dcn, data) jointly — the dcn
+    part rides DCN between slices, the data part ICI within one."""
+    return tuple(a for a in (DCN_AXIS, DATA_AXIS) if a in mesh.shape)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading (batch) dim sharded over data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Leading (batch) dim sharded over the (dcn, data) axes."""
+    return NamedSharding(mesh, P(batch_axes(mesh)))
 
 
 def train_array_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Sharding for one train-batch array: batch dim over 'data'; for
-    (B, T, ...) arrays the time dim additionally over 'seq' (sequence /
-    context parallelism — per-device activation memory ~T/n_seq; crop
-    lengths must divide by n_seq, which every power-of-two bucket does).
-    (B,)-shaped arrays (lengths) ride the data axis only."""
+    """Sharding for one train-batch array: batch dim over (dcn, data);
+    for (B, T, ...) arrays the time dim additionally over 'seq'
+    (sequence / context parallelism — per-device activation memory
+    ~T/n_seq; crop lengths must divide by n_seq, which every
+    power-of-two bucket does). (B,)-shaped arrays (lengths) ride the
+    batch axes only."""
     if ndim >= 2 and SEQ_AXIS in mesh.shape and mesh.shape[SEQ_AXIS] > 1:
         return NamedSharding(
-            mesh, P(DATA_AXIS, SEQ_AXIS, *([None] * (ndim - 2))))
+            mesh, P(batch_axes(mesh), SEQ_AXIS, *([None] * (ndim - 2))))
     return batch_sharding(mesh)
 
 

@@ -93,11 +93,9 @@ def make_global_batch(mesh, local_batch):
     is the concatenation over processes, sharded over the mesh's data axis.
     Single-process: equivalent to a device_put with the batch sharding.
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    from mqgan_tpu.parallel.mesh import batch_sharding
 
-    from mqgan_tpu.parallel.mesh import DATA_AXIS
-
-    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    sharding = batch_sharding(mesh)
     if jax.process_count() == 1:
         return jax.device_put(local_batch, sharding)
     return jax.make_array_from_process_local_data(sharding, np.asarray(local_batch))

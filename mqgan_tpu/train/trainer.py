@@ -626,6 +626,29 @@ class Trainer:
                 return None
         return prev
 
+    def _collective_stop(self) -> bool:
+        """Whether to honor a preemption signal at THIS epoch boundary.
+
+        Under multihost the decision must be COLLECTIVE: signal delivery
+        is skewed across hosts, so a host that got SIGTERM just after its
+        epoch-N check would stop at N+1 while the others stop at N — the
+        save barrier then desyncs (ckpt_epoch_N vs ckpt_epoch_N+1 name
+        mismatch, caught by tests/test_parallel.py::
+        test_multihost_sigterm_preemption_save). An any-host OR
+        (process_allgather max) makes every host stop at the first epoch
+        boundary where ANY host has seen the signal."""
+        if not (self.multihost and jax.process_count() > 1):
+            return self._stop_requested
+        import numpy as _np
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            _np.int32(self._stop_requested))
+        stop = bool(_np.max(flags))
+        if stop:
+            self._stop_requested = True  # adopt the collective decision
+        return stop
+
     def train(self):
         import signal as _signal
 
@@ -635,14 +658,11 @@ class Trainer:
             for epoch in range(self.start_epoch, cfg.training.num_epochs + 1):
                 last = self.train_epoch(epoch)
                 print(f"Epoch {epoch}: {last}")
-                if self._stop_requested:
+                if self._collective_stop():
                     # preemption save: tagged with the interrupted epoch —
                     # resume continues at epoch+1 (the tail of this
                     # epoch's shuffled crops is skipped, which is the
                     # standard preemption trade at epoch granularity).
-                    # Under multihost every process must receive the
-                    # signal (the norm for preemptions) or the save
-                    # barrier would wait.
                     self.save(epoch)
                     print(f"Stopped by signal after epoch {epoch} "
                           "(possibly partial); checkpoint written.")

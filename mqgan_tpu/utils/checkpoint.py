@@ -28,6 +28,34 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+def _save_mp_options():
+    """Multihost saves are PRIMARY-ONLY (the trainer device_gets the
+    replicated state on process 0 and every other process just waits at
+    the trainer's own sync barrier, train/trainer.py:save). orbax must
+    therefore coordinate its internal save barriers across process 0
+    ALONE — with the default global options its `_Checkpointer:save_*`
+    barriers would wait for processes that never call save and collide
+    with the trainer's barrier (name-mismatch crash, caught by
+    tests/test_parallel.py::test_multihost_checkpoint_save_and_resume).
+    Restores stay on default options: every process restores
+    symmetrically."""
+    import jax
+
+    if jax.process_count() > 1:
+        return ocp.options.MultiprocessingOptions(
+            primary_host=0, active_processes={0},
+            barrier_sync_key_prefix="mqgan_primary_save")
+    return None
+
+
+def _save_checkpointer():
+    opts = _save_mp_options()
+    if opts is None:
+        return ocp.StandardCheckpointer()
+    return ocp.Checkpointer(ocp.StandardCheckpointHandler(),
+                            multiprocessing_options=opts)
+
+
 _ASYNC_CKPTR = None
 
 
@@ -36,7 +64,10 @@ def _async_checkpointer():
     serialize against each other inside orbax instead of racing)."""
     global _ASYNC_CKPTR
     if _ASYNC_CKPTR is None:
-        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        opts = _save_mp_options()
+        kw = {} if opts is None else {"multiprocessing_options": opts}
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler(),
+                                             **kw)
     return _ASYNC_CKPTR
 
 
@@ -45,6 +76,50 @@ def wait_for_saves() -> None:
     save_checkpoint(background=True) has committed to disk."""
     if _ASYNC_CKPTR is not None:
         _ASYNC_CKPTR.wait_until_finished()
+
+
+def _is_key_leaf(x) -> bool:
+    dt = getattr(x, "dtype", None)
+    return dt is not None and jax.numpy.issubdtype(dt, jax.dtypes.prng_key)
+
+
+def _key_impl_name(dtype) -> str:
+    # the registry name ("threefry2x32", "rbg", ...), NOT the short tag
+    # in str(dtype) ("key<fry>") — wrap_key_data resolves only the former
+    return dtype._impl.name
+
+
+def _encode_keys(tree):
+    """PRNG-key leaves -> raw uint32 key_data (same tree structure).
+
+    Checkpoints store key leaves (TrainState.rng) as their key data:
+    typed key arrays have no numpy form, and in a multi-process run the
+    primary's device_get leaves them as host-local jax.Arrays that orbax
+    refuses to serialize (caught by the 2-process save test). The
+    template's key dtype tells restore which impl to wrap back."""
+
+    def enc(x):
+        return np.asarray(jax.random.key_data(x)) if _is_key_leaf(x) else x
+
+    return jax.tree.map(enc, tree)
+
+
+def _encode_keys_abstract(tree):
+    def enc(x):
+        return jax.eval_shape(jax.random.key_data, x) if _is_key_leaf(x) \
+            else x
+
+    return jax.tree.map(enc, tree)
+
+
+def _decode_keys(restored, template):
+    def dec(r, t):
+        if _is_key_leaf(t):
+            return jax.random.wrap_key_data(
+                jax.numpy.asarray(r), impl=_key_impl_name(t.dtype))
+        return r
+
+    return jax.tree.map(dec, restored, template)
 
 
 def _abstract_leaf(x):
@@ -71,10 +146,10 @@ def save_checkpoint(output_dir: str, state: Any, epoch: int, config_dict=None,
     """
     os.makedirs(output_dir, exist_ok=True)
     path = os.path.abspath(os.path.join(output_dir, f"checkpoint_epoch_{epoch:03d}"))
-    ckptr = _async_checkpointer() if background else _checkpointer()
-    ckptr.save(path, state, force=True)
-    if not background:
-        ckptr.wait_until_finished()
+    ckptr = _async_checkpointer() if background else _save_checkpointer()
+    ckptr.save(path, _encode_keys(state), force=True)
+    if not background and hasattr(ckptr, "wait_until_finished"):
+        ckptr.wait_until_finished()  # plain Checkpointer saves are sync
     if config_dict is not None:
         with open(os.path.join(output_dir, "config.json"), "w") as f:
             json.dump({"epoch": epoch, "config": config_dict}, f, indent=2, default=str)
@@ -100,16 +175,17 @@ def restore_checkpoint(path: str, abstract_state: Any) -> Any:
     """Restore a TrainState saved by save_checkpoint; abstract_state is a
     template (e.g. jax.eval_shape of the init fn, or an actual state)."""
     ckptr = _checkpointer()
-    template = jax.tree.map(_abstract_leaf, abstract_state)
-    return ckptr.restore(path, template)
+    template = jax.tree.map(_abstract_leaf, _encode_keys_abstract(abstract_state))
+    return _decode_keys(ckptr.restore(path, template), abstract_state)
 
 
 def save_generator_only(output_dir: str, gen_params: Any, name: str = "generator") -> str:
     os.makedirs(output_dir, exist_ok=True)
     path = os.path.abspath(os.path.join(output_dir, name))
-    ckptr = _checkpointer()
+    ckptr = _save_checkpointer()
     ckptr.save(path, gen_params, force=True)
-    ckptr.wait_until_finished()
+    if hasattr(ckptr, "wait_until_finished"):
+        ckptr.wait_until_finished()  # plain Checkpointer saves are sync
     return path
 
 

@@ -7,8 +7,16 @@ collectives) and dumps the final generator + discriminator params to an
 files — the reference contract that step semantics are independent of
 process count (/root/reference/train.py:380-501).
 
+Round-4: optional [num_epochs] [save_interval] args let the parent test
+exercise the multihost CHECKPOINT paths — mid-run saves under 2
+processes (Trainer.save: primary-only device_get + sync barrier), a
+2-process auto-resume from a prior run's checkpoint in the same
+out_dir, and the SIGTERM preemption save (the parent signals both
+workers mid-epoch; Trainer checkpoints and exits 0).
+
 Usage: python tests/multihost_worker.py <proc_id> <num_procs> <port>
        <devices_per_proc> <data_dir> <out_dir> <params_npz>
+       [num_epochs] [save_interval]
 """
 
 import os
@@ -18,6 +26,8 @@ import sys
 def main():
     proc_id, num_procs, port, n_dev = map(int, sys.argv[1:5])
     data_dir, out_dir, params_npz = sys.argv[5:8]
+    num_epochs = int(sys.argv[8]) if len(sys.argv) > 8 else 2
+    save_interval = int(sys.argv[9]) if len(sys.argv) > 9 else 99
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
@@ -68,10 +78,10 @@ def main():
             ),
         ),
         training=TrainingConfig(
-            num_epochs=2, warmup_steps=3, discriminator_train_start_epoch=2,
-            seed=0,
+            num_epochs=num_epochs, warmup_steps=3,
+            discriminator_train_start_epoch=2, seed=0,
         ),
-        logging=LoggingConfig(eval_interval=99, save_interval=99,
+        logging=LoggingConfig(eval_interval=99, save_interval=save_interval,
                               num_plot_examples=0),
     )
 

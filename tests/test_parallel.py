@@ -2,6 +2,7 @@
 shardings, and the driver dryrun entry."""
 
 import os
+import time
 
 import numpy as np
 import pytest
@@ -21,11 +22,20 @@ from mqgan_tpu.parallel.mesh import (
 
 
 def test_mesh_construction():
+    from mqgan_tpu.parallel.mesh import DCN_AXIS, batch_axes
+
     assert jax.device_count() == 8
     m = make_mesh()
     assert m.shape[DATA_AXIS] == 8 and m.shape[MODEL_AXIS] == 1
+    assert m.shape[DCN_AXIS] == 1  # inert by default
     m2 = make_mesh(n_data=4, n_model=2)
     assert m2.shape[DATA_AXIS] == 4 and m2.shape[MODEL_AXIS] == 2
+    # explicit DCN outer axis: batch dims shard jointly over (dcn, data)
+    m3 = make_mesh(n_dcn=2, n_model=2)
+    assert m3.shape[DCN_AXIS] == 2 and m3.shape[DATA_AXIS] == 2
+    assert m3.shape[MODEL_AXIS] == 2
+    assert batch_axes(m3) == (DCN_AXIS, DATA_AXIS)
+    assert batch_sharding(m3).spec == P((DCN_AXIS, DATA_AXIS))
 
 
 def test_data_parallel_matches_single_device(rng):
@@ -148,10 +158,11 @@ def test_sharded_train_step_numerics_match_single_device():
     )
     step = make_train_step(cfg, train_d=True, donate=False)
 
-    def run(n_data, n_model, n_seq=1):
+    def run(n_data, n_model, n_seq=1, n_dcn=1):
         from mqgan_tpu.parallel.mesh import train_array_sharding
 
-        mesh = make_mesh(n_data=n_data, n_model=n_model, n_seq=n_seq)
+        mesh = make_mesh(n_data=n_data, n_model=n_model, n_seq=n_seq,
+                         n_dcn=n_dcn)
         state = jax.device_put(state0, state_shardings(mesh, state0))
         for i in range(n_steps):
             mel = jax.device_put(jnp.asarray(mels[i]),
@@ -164,10 +175,14 @@ def test_sharded_train_step_numerics_match_single_device():
     ref_state, ref_metrics = run(1, 1)
     # 2x1x4 = DP x sequence parallelism: the crop TIME axis itself is
     # sharded — GSPMD halo-exchanges the convs and all-reduces the masked
-    # pools/loss means; the step must still be bit-compatible
-    for n_data, n_model, n_seq in [(8, 1, 1), (4, 2, 1), (2, 1, 4)]:
-        got_state, got_metrics = run(n_data, n_model, n_seq)
-        tag = f"mesh {n_data}x{n_model}x{n_seq}"
+    # pools/loss means; the step must still be bit-compatible.
+    # Last entry: explicit 2-slice DCN outer axis (dcn=2 x data=2 x
+    # model=2) — the batch shards jointly over (dcn, data) and the grad
+    # reduction spans both, mirroring the multi-slice topology
+    for n_data, n_model, n_seq, n_dcn in [
+            (8, 1, 1, 1), (4, 2, 1, 1), (2, 1, 4, 1), (2, 2, 1, 2)]:
+        got_state, got_metrics = run(n_data, n_model, n_seq, n_dcn)
+        tag = f"mesh dcn{n_dcn}x{n_data}x{n_model}x{n_seq}"
         _allclose_tree(got_metrics, ref_metrics, rtol=1e-3, atol=1e-4,
                        what=f"{tag} metrics")
         _allclose_tree(got_state.gen_params, ref_state.gen_params,
@@ -274,6 +289,133 @@ def test_multihost_two_process_param_equality(tmp_path):
         np.testing.assert_allclose(
             a[k], b[k], rtol=1e-3, atol=5e-5,
             err_msg=f"param {k} differs between 1-process and 2-process runs")
+
+
+def _dual_env():
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = "/root/repo" + (
+        ":" + os.environ["PYTHONPATH"] if os.environ.get("PYTHONPATH")
+        else "")
+    env["PYTHONUNBUFFERED"] = "1"
+    return env
+
+
+def _run_dual(worker, data_dir, out, npz, env, *, num_epochs, save_interval,
+              signal_after_epoch=None, timeout=900):
+    """Launch a 2-process jax.distributed run; optionally SIGTERM both
+    workers once proc 0 prints the given epoch line. Returns the joined
+    logs (asserts both exit 0)."""
+    import signal as _signal
+    import subprocess
+    import sys
+
+    port = _free_port()
+    # ONE shared out_dir for both processes — the shared-filesystem
+    # deployment contract auto-resume relies on (the logger and saver are
+    # primary-gated, so only process 0 writes into it)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), "4",
+             data_dir, out, npz, str(num_epochs), str(save_interval)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True)
+        for i in range(2)
+    ]
+    try:
+        if signal_after_epoch is not None:
+            # watch the primary's stdout; preemptions signal EVERY host
+            deadline = time.time() + timeout
+            while time.time() < deadline:
+                line = procs[0].stdout.readline()
+                if not line:
+                    raise AssertionError(
+                        "primary exited before the signal epoch")
+                if line.startswith(f"Epoch {signal_after_epoch}:"):
+                    for p in procs:
+                        p.send_signal(_signal.SIGTERM)
+                    break
+            else:
+                raise AssertionError("never reached the signal epoch")
+        logs = []
+        for p in procs:
+            stdout, _ = p.communicate(timeout=timeout)
+            logs.append(stdout)
+    except subprocess.TimeoutExpired:
+        for q in procs:
+            q.kill()
+        raise AssertionError(
+            "2-process run deadlocked (checkpoint barrier desync?)")
+    finally:
+        for q in procs:
+            if q.poll() is None:
+                q.kill()
+    assert all(p.returncode == 0 for p in procs), (
+        "2-process run failed:\n" + "\n----\n".join(logs))
+    return "\n----\n".join(logs)
+
+
+@pytest.mark.slow
+def test_multihost_checkpoint_save_and_resume(tmp_path):
+    """The multihost CHECKPOINT paths actually execute under 2 real
+    processes: mid-run saves (Trainer.save's primary-only device_get of
+    the replicated state + sync_global_devices barrier, every epoch),
+    then a SECOND 2-process run auto-resumes from the saved checkpoint
+    and lands on the same final parameters as an uninterrupted
+    2-process run — save/restore round-trips the full replicated state
+    (params, opt states, LeCam EMA, rng chain) across processes."""
+    data_dir = _make_uneven_dataset(str(tmp_path / "mels"))
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = _dual_env()
+
+    straight = str(tmp_path / "straight.npz")
+    _run_dual(worker, data_dir, str(tmp_path / "straight"), straight, env,
+              num_epochs=4, save_interval=1)
+
+    resumed = str(tmp_path / "resumed.npz")
+    first = _run_dual(worker, data_dir, str(tmp_path / "resumed"),
+                      resumed, env, num_epochs=2, save_interval=1)
+    assert "Checkpoint" in first  # the mid-run save actually happened
+    second = _run_dual(worker, data_dir, str(tmp_path / "resumed"),
+                       resumed, env, num_epochs=4, save_interval=1)
+    assert "Resuming from" in second and "epoch 2" in second
+
+    a, b = np.load(straight), np.load(resumed)
+    assert sorted(a.files) == sorted(b.files)
+    for k in a.files:
+        # same process count on both sides -> the only wiggle is gloo
+        # allreduce ordering between runs (same tolerance rationale as
+        # test_multihost_two_process_param_equality)
+        np.testing.assert_allclose(
+            a[k], b[k], rtol=1e-3, atol=5e-5,
+            err_msg=f"param {k}: resumed 2-process run diverged from the "
+                    f"uninterrupted one")
+
+
+@pytest.mark.slow
+def test_multihost_sigterm_preemption_save(tmp_path):
+    """SIGTERM delivered to BOTH processes mid-run (the preemption norm):
+    every host finishes the epoch, the primary writes the tagged
+    checkpoint through the multihost barrier, both exit 0 — and a fresh
+    2-process run auto-resumes from the preemption save."""
+    data_dir = _make_uneven_dataset(str(tmp_path / "mels"))
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = _dual_env()
+    out = str(tmp_path / "pre")
+    npz = str(tmp_path / "pre.npz")
+
+    logs = _run_dual(worker, data_dir, out, npz, env, num_epochs=50,
+                     save_interval=99, signal_after_epoch=1)
+    assert "checkpoint written" in logs.lower(), logs[-3000:]
+
+    from mqgan_tpu.utils.checkpoint import latest_checkpoint
+
+    latest = latest_checkpoint(out)
+    assert latest is not None and latest[1] >= 1
+
+    resume = _run_dual(worker, data_dir, out, npz, env, num_epochs=3,
+                       save_interval=99)
+    assert "Resuming from" in resume
 
 
 def test_loader_plan_is_process_count_invariant(tmp_path):
