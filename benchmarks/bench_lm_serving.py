@@ -1,0 +1,184 @@
+"""LM serving measurements (VERDICT r3 #1/#2 "Done" rows).
+
+Leg A — exported transformer generation: AOT-export the flagship-dim
+transformer LM (deploy/export_lm.py v2 per-row programs) to a temp dir,
+reload through ExportedMusicLM, and time generate_rows at B=64 L=512
+with per-iter distinct seeds + forced host fetch (axon lazy-dispatch
+rules, benchmarks/README.md). The LSTM twin runs alongside for the
+same-artifact-path comparison with config 7s.
+
+Leg B — concurrent HTTP serving throughput: one LMHTTPService (exported
+backend), N concurrent clients requesting mixed-prompt generations.
+Continuous batching (the round-4 coalescing batcher) vs the serialized
+baseline (max_batch=1 = the round-3 global-lock behavior) on the same
+service/model/requests. Reported: wall time, requests/s, and the
+batcher's own dispatch stats.
+
+Usage: python benchmarks/bench_lm_serving.py [--iters 6] [--clients 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VOCAB = 1003
+
+
+def _flagship_lm(arch):
+    import jax
+    import jax.numpy as jnp
+
+    from mqgan_tpu.models.token_lm import build_token_lm
+
+    args = dict(vocab_size=VOCAB, num_genres=10, emb_dim=512, pad_id=0,
+                bos_id=1, arch=arch, lstm_hid=1024, lstm_layers=2,
+                n_layers=6, n_heads=8, mlp_ratio=4)
+    model = build_token_lm(args, dropout=0.0)
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 8), jnp.int32),
+        jnp.zeros((1,), jnp.int32), None)["params"]
+    return model, params, args
+
+
+def bench_exported_generation(arch, b, gen_len, iters):
+    import jax
+
+    from mqgan_tpu.deploy.export_lm import ExportedMusicLM, export_music_lm
+
+    model, params, args = _flagship_lm(arch)
+    out = tempfile.mkdtemp(prefix=f"lm_export_bench_{arch}_")
+    t0 = time.perf_counter()
+    export_music_lm(model, params, out, gen_buckets=(gen_len,),
+                    prompt_buckets=(1,), score_buckets=(gen_len,),
+                    bos_id=1, lm_args=args, verify=False)
+    export_s = time.perf_counter() - t0
+    rt = ExportedMusicLM(out)
+
+    genres = np.zeros((b,), np.int32)
+    mask_forbidden = (0, 1, 2)
+
+    def gen(seed):
+        return rt.generate_rows(genres, seed, gen_len, temperature=1.0,
+                                top_k=64, forbidden=mask_forbidden)
+
+    for s in (900, 901):  # compile + warm, distinct seeds
+        float(gen(s).sum())
+    t0 = time.perf_counter()
+    outs = [gen(100 + i) for i in range(iters)]
+    for o in outs:
+        float(o.sum())
+    per = (time.perf_counter() - t0) / iters
+    row = {
+        "config": f"r4_exported_generate_{arch}_b{b}",
+        "arch": arch, "batch": b, "gen_len": gen_len, "top_k": 64,
+        "export_s": round(export_s, 1),
+        "ms_total": round(per * 1e3, 1),
+        "ms_per_token_step": round(per * 1e3 / gen_len, 3),
+        "tokens_per_sec": round(b * gen_len / per, 1),
+    }
+    print(row, flush=True)
+    return row, out
+
+
+def bench_concurrent_http(lm_export_dir, clients, length, iters):
+    import io
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mqgan_tpu.deploy.http_lm import LMHTTPServer, LMHTTPService
+
+    rows = []
+    for max_batch, tag in ((clients, "continuous_batching"),
+                           (1, "serialized_baseline")):
+        svc = LMHTTPService(lm_export=lm_export_dir, max_batch=max_batch,
+                            max_delay_ms=25.0)
+        with LMHTTPServer(svc, port=0) as srv:
+            def call(spec):
+                req = urllib.request.Request(
+                    srv.url + "/generate",
+                    data=json.dumps(spec).encode(), method="POST")
+                with urllib.request.urlopen(req, timeout=600) as r:
+                    return np.load(io.BytesIO(r.read()),
+                                   allow_pickle=False)
+
+            # warm the compiled program at BOTH dispatch widths the run
+            # will see (exported programs have a symbolic batch, but each
+            # concrete width still compiles once)
+            call({"genre": 0, "length": length, "seed": 1, "top_k": 64})
+            specs = [{"genre": g % 10, "length": length, "seed": 50 + g,
+                      "top_k": 64} for g in range(clients)]
+            with ThreadPoolExecutor(clients) as pool:
+                list(pool.map(call, [dict(s, seed=s["seed"] + 7777)
+                                     for s in specs]))
+            t0 = time.perf_counter()
+            for it in range(iters):
+                for s in specs:
+                    s["seed"] += 1000
+                with ThreadPoolExecutor(clients) as pool:
+                    outs = list(pool.map(call, specs))
+                assert all(o.shape == (1, length) for o in outs)
+            wall = (time.perf_counter() - t0) / iters
+            stats = svc.stats()
+        rows.append({
+            "config": f"r4_http_lm_{tag}",
+            "clients": clients, "length": length, "iters": iters,
+            "wall_s_per_round": round(wall, 2),
+            "requests_per_sec": round(clients / wall, 2),
+            "server_stats": stats,
+        })
+        print(rows[-1], flush=True)
+    rows.append({
+        "config": "r4_http_lm_speedup",
+        "speedup": round(rows[1]["wall_s_per_round"]
+                         / rows[0]["wall_s_per_round"], 2),
+    })
+    print(rows[-1], flush=True)
+    return rows
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--iters", type=int, default=6)
+    p.add_argument("--clients", type=int, default=8)
+    p.add_argument("--gen_len", type=int, default=512)
+    p.add_argument("--serve_len", type=int, default=256)
+    p.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "results_r4_lmserve.json"))
+    args = p.parse_args(argv)
+
+    rows = []
+    tf_row, tf_dir = bench_exported_generation("transformer", 64,
+                                               args.gen_len, args.iters)
+    rows.append(tf_row)
+    lstm_row, _ = bench_exported_generation("lstm", 64, args.gen_len,
+                                            args.iters)
+    rows.append(lstm_row)
+    # serving buckets: re-export the transformer with the serve length
+    from mqgan_tpu.deploy.export_lm import export_music_lm
+
+    model, params, margs = _flagship_lm("transformer")
+    serve_dir = tempfile.mkdtemp(prefix="lm_export_serve_")
+    export_music_lm(model, params, serve_dir,
+                    gen_buckets=(args.serve_len,), prompt_buckets=(1,),
+                    score_buckets=(args.serve_len,), bos_id=1,
+                    lm_args=margs, verify=False)
+    rows.extend(bench_concurrent_http(serve_dir, args.clients,
+                                      args.serve_len, args.iters))
+    with open(args.out, "w") as f:
+        json.dump(rows, f, indent=1)
+        f.write("\n")
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -48,7 +48,7 @@ def synth_gaussian_tracks(rng, b, t, mel):
     return np.clip(out, -11.5, 3.0)
 
 
-def medium_cfg(variant, lr=None, warmup=None):
+def medium_cfg(variant, lr=None, warmup=None, scale="medium"):
     from mqgan_tpu.core.config import TrainConfig
 
     train_d = {}
@@ -56,8 +56,14 @@ def medium_cfg(variant, lr=None, warmup=None):
         train_d["lr"] = lr
     if warmup is not None:
         train_d["warmup_steps"] = warmup
-    cfg = TrainConfig.from_dict({
-        "model": {
+    if scale == "flagship":
+        # the full hifispeech generator (config defaults mirror the
+        # reference model_config_hifispeech.yaml) with --remat, i.e. the
+        # exact model the headline train bench runs — the scale at which
+        # a default-on decision for fast_dropout must hold
+        model_d = {"mel_channels": 128, "generator": {"remat": True}}
+    else:
+        model_d = {
             "mel_channels": 64,
             "generator": {
                 "channels": [128, 128, 192],
@@ -66,7 +72,9 @@ def medium_cfg(variant, lr=None, warmup=None):
                 "refiner_base_channels": 32,
                 "refiner_depth": 2,
             },
-        },
+        }
+    cfg = TrainConfig.from_dict({
+        "model": model_d,
         "training": train_d,
     })
     over = {}
@@ -94,14 +102,15 @@ def medium_cfg(variant, lr=None, warmup=None):
     return cfg
 
 
-def run_variant(variant, steps, b, t, log_every, lr=None, warmup=None):
+def run_variant(variant, steps, b, t, log_every, lr=None, warmup=None,
+                scale="medium"):
     import jax
     import jax.numpy as jnp
 
     from mqgan_tpu.train.state import create_train_state
     from mqgan_tpu.train.step import build_models, make_train_step
 
-    cfg = medium_cfg(variant, lr=lr, warmup=warmup)
+    cfg = medium_cfg(variant, lr=lr, warmup=warmup, scale=scale)
     mel_ch = cfg.model.mel_channels
     gen, patch, mb = build_models(cfg, jnp.bfloat16)
     data_rng = np.random.default_rng(0)  # SHARED stream across variants
@@ -134,7 +143,8 @@ def run_variant(variant, steps, b, t, log_every, lr=None, warmup=None):
                              float(m["codebook_perplexity"]), 1)})
             print(f"[{variant}] {traj[-1]}", flush=True)
     wall = time.perf_counter() - t0
-    return {"variant": variant, "steps": steps, "batch": b, "frames": t,
+    return {"variant": variant, "scale": scale, "steps": steps,
+            "batch": b, "frames": t,
             "wall_s": round(wall, 1), "trajectory": traj,
             "final_recon_pre": traj[-1]["recon_pre"],
             "final_codebook_usage": traj[-1]["codebook_usage"],
@@ -149,6 +159,8 @@ def main(argv=None):
     p.add_argument("--frames", type=int, default=128)
     p.add_argument("--log_every", type=int, default=25)
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--scale", choices=("medium", "flagship"),
+                   default="medium")
     p.add_argument("--warmup", type=int, default=None,
                    help="override warmup_steps (default 1000 is most of a "
                         "short smoke; ~steps/6 makes the loss move)")
@@ -157,7 +169,8 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     results = [run_variant(v, args.steps, args.batch, args.frames,
-                           args.log_every, lr=args.lr, warmup=args.warmup)
+                           args.log_every, lr=args.lr, warmup=args.warmup,
+                           scale=args.scale)
                for v in args.variants]
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

@@ -33,7 +33,9 @@ def build_token_lm(args: dict, *, dropout: float = 0.0, dtype: Any = None):
             vocab_size=args["vocab_size"], num_genres=args["num_genres"],
             emb_dim=args["emb_dim"], n_layers=args["n_layers"],
             n_heads=args["n_heads"], mlp_ratio=args["mlp_ratio"],
-            pad_id=args["pad_id"], dropout=dropout, dtype=dtype,
+            pad_id=args["pad_id"], dropout=dropout,
+            remat=bool(args.get("remat_lm", False)),
+            flash=bool(args.get("flash_lm", False)), dtype=dtype,
         )
     if arch == "lstm":
         from mqgan_tpu.models.music_lstm import MusicLSTM

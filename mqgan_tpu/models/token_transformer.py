@@ -76,6 +76,10 @@ class CausalSelfAttention(nn.Module):
 
     features: int
     n_heads: int
+    # flash=True routes the TRAINING forward (__call__) through the
+    # Pallas TPU flash-attention kernel; prefill/step decode paths are
+    # unchanged (their cost is cache-bound, not scores-bound)
+    flash: bool = False
     dtype: Any = None
 
     def setup(self):
@@ -113,10 +117,36 @@ class CausalSelfAttention(nn.Module):
         b, t = out.shape[:2]
         return self.wo(out.reshape(b, t, self.features))
 
+    def _attend_flash(self, q: jax.Array, k: jax.Array,
+                      v: jax.Array) -> jax.Array:
+        """Causal attention via the Pallas TPU flash kernel: scores are
+        tiled through VMEM with an online softmax instead of
+        materializing the (B, H, T, T) matrix in HBM — the O(T^2) HBM
+        traffic is what makes the naive path LOSE to the LSTM at long
+        context (benchmarks/results_r4_longlm.json). Custom-VJP backward
+        included. T pads up to the kernel's 128 grid (zero-padded keys
+        sit AFTER every real key, so causal queries never see them)."""
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention)
+
+        b, t, h, d = q.shape
+        tp = -(-t // 128) * 128
+        qt = jnp.transpose(q, (0, 2, 1, 3))  # (B, H, T, D)
+        kt = jnp.transpose(k, (0, 2, 1, 3))
+        vt = jnp.transpose(v, (0, 2, 1, 3))
+        if tp != t:
+            pad = ((0, 0), (0, 0), (0, tp - t), (0, 0))
+            qt, kt, vt = (jnp.pad(x, pad) for x in (qt, kt, vt))
+        out = flash_attention(qt, kt, vt, causal=True, sm_scale=d ** -0.5)
+        out = jnp.transpose(out[:, :, :t], (0, 2, 1, 3))  # (B, T, H, D)
+        return self.wo(out.reshape(b, t, h * d).astype(q.dtype))
+
     def __call__(self, x: jax.Array) -> jax.Array:
         t = x.shape[1]
         positions = jnp.arange(t)
         q, k, v = self._qkv(x, positions)
+        if self.flash:
+            return self._attend_flash(q, k, v)
         mask = jnp.tril(jnp.ones((t, t), bool))
         return self._attend(q, k, v, mask)
 
@@ -187,11 +217,13 @@ class TransformerBlock(nn.Module):
     n_heads: int
     mlp_dim: int
     dropout: float
+    flash: bool = False
     dtype: Any = None
 
     def setup(self):
         self.ln1 = nn.LayerNorm(dtype=self.dtype, name="ln1")
         self.attn = CausalSelfAttention(self.features, self.n_heads,
+                                        flash=self.flash,
                                         dtype=self.dtype, name="attn")
         self.ln2 = nn.LayerNorm(dtype=self.dtype, name="ln2")
         self.fc1 = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")
@@ -237,6 +269,15 @@ class MusicTransformer(nn.Module):
     mlp_ratio: int = 4
     pad_id: int = 0
     dropout: float = 0.1
+    # per-block rematerialization for LONG-context training: the naive
+    # causal attention materializes (B, H, L, L) fp32 scores per layer —
+    # at L=4096 that is GBs per layer, so the backward pass must
+    # recompute blocks instead of storing them. Identical numerics
+    # (gradients equal, test-pinned); a throughput-for-memory trade.
+    remat: bool = False
+    # Pallas TPU flash attention for the training forward (see
+    # CausalSelfAttention.flash); TPU-only — leave False on CPU
+    flash: bool = False
     dtype: Any = None
 
     def setup(self):
@@ -244,10 +285,12 @@ class MusicTransformer(nn.Module):
                                 dtype=self.dtype, name="tok_emb")
         self.genre_emb = nn.Embed(self.num_genres, self.emb_dim,
                                   dtype=self.dtype, name="genre_emb")
+        blk_cls = (nn.remat(TransformerBlock, static_argnums=(2,))
+                   if self.remat else TransformerBlock)
         self.blocks = [
-            TransformerBlock(self.emb_dim, self.n_heads,
-                             self.mlp_ratio * self.emb_dim, self.dropout,
-                             dtype=self.dtype, name=f"block_{i}")
+            blk_cls(self.emb_dim, self.n_heads,
+                    self.mlp_ratio * self.emb_dim, self.dropout,
+                    flash=self.flash, dtype=self.dtype, name=f"block_{i}")
             for i in range(self.n_layers)
         ]
         self.ln_f = nn.LayerNorm(dtype=self.dtype, name="ln_f")
@@ -270,7 +313,7 @@ class MusicTransformer(nn.Module):
     ) -> jax.Array:
         x = self._embed(tokens, genre_ids)
         for blk in self.blocks:
-            x = blk(x, deterministic=deterministic)
+            x = blk(x, deterministic)  # positional: remat static_argnums
         return self.proj(self.ln_f(x))
 
     # -- decode-path methods (invoked via apply(..., method=...)) --------

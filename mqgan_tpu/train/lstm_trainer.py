@@ -196,6 +196,15 @@ def main(argv=None):
                    help="transformer attention heads (--arch transformer)")
     p.add_argument("--mlp_ratio", type=int, default=4,
                    help="transformer MLP width ratio (--arch transformer)")
+    p.add_argument("--flash_lm", action="store_true",
+                   help="Pallas TPU flash attention for the transformer "
+                        "training forward (--arch transformer, TPU only):"
+                        " O(L) attention memory, the long-context path")
+    p.add_argument("--remat_lm", action="store_true",
+                   help="per-block rematerialization (--arch transformer):"
+                        " long-context training memory relief — the "
+                        "backward recomputes blocks instead of storing "
+                        "the (B, H, L, L) attention scores")
     p.add_argument("--bos_id", type=int, default=1)
     p.add_argument("--pad_id", type=int, default=0)
     p.add_argument("--epochs", type=int, default=5)

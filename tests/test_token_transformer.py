@@ -146,6 +146,29 @@ def test_score_tokens_works_for_transformer(model_and_params, rng):
     assert float(jnp.sum(n)) == float(n_valid)
 
 
+def test_remat_grads_equal_plain(model_and_params, rng):
+    """remat=True (long-context memory relief) is numerics-neutral: same
+    param tree, bit-equal gradients vs the plain forward."""
+    from mqgan_tpu.models.music_lstm import masked_ce_loss
+
+    model, params = model_and_params
+    rm = make_model(remat=True)
+    toks = jnp.asarray(rng.integers(1, V, (4, 24)), jnp.int32)
+    genres = jnp.asarray(rng.integers(0, G, (4,)), jnp.int32)
+    assert (jax.tree.structure(
+        rm.init(jax.random.key(0), toks, genres, None)["params"])
+        == jax.tree.structure(params))
+
+    def loss(m, p):
+        logits = m.apply({"params": p}, toks[:, :-1], genres, None)
+        return masked_ce_loss(logits, toks[:, 1:], 0)[0]
+
+    g_plain = jax.jit(jax.grad(lambda p: loss(model, p)))(params)
+    g_remat = jax.jit(jax.grad(lambda p: loss(rm, p)))(params)
+    for a, b in zip(jax.tree.leaves(g_plain), jax.tree.leaves(g_remat)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_bf16_forward_finite(rng):
     model = make_model(dtype=jnp.bfloat16)
     tokens = jnp.asarray(rng.integers(1, V, (2, 8)))
