@@ -313,6 +313,27 @@ def test_resume_across_rng_impl(tmp_path, capsys):
 
 
 @pytest.mark.slow
+def test_seq_par_constraint_errors(tmp_path):
+    """--seq_par's documented limits fail LOUDLY at construction (before
+    any data/device work): crop buckets must divide by the factor, and
+    sequence parallelism does not compose with --multihost."""
+    import dataclasses
+
+    from mqgan_tpu.parallel.mesh import make_mesh
+    from mqgan_tpu.train.trainer import Trainer
+
+    data_dir = make_dataset(tmp_path)
+    cfg = trainer_config(data_dir, str(tmp_path / "out"))
+    mesh_sp = make_mesh(n_seq=4)  # crop 48 is fine, 32/48 vs 4: 48 ok, 32 ok
+    bad_cfg = dataclasses.replace(
+        cfg, data=dataclasses.replace(cfg.data, crop_len=(30, 48)))
+    with pytest.raises(ValueError, match="do not divide"):
+        Trainer(bad_cfg, use_wandb=False, dtype=jnp.float32, mesh=mesh_sp)
+    with pytest.raises(ValueError, match="single-process"):
+        Trainer(cfg, use_wandb=False, dtype=jnp.float32, mesh=mesh_sp,
+                multihost=True)
+
+
 def test_sigterm_graceful_checkpoint(tmp_path):
     """SIGTERM mid-run -> the trainer finishes the current step, writes a
     checkpoint tagged with the interrupted epoch, and exits 0 (preemption
