@@ -723,11 +723,21 @@ def main(argv=None):
                              "refiners at B=64; the flagship never needs "
                              "it and it is slower at equal batch)")
     parser.add_argument("--fast_dropout", action="store_true",
-                        help="EXPERIMENTAL: moment-matched Gaussian dropout "
-                             "on the mel-mixer hiddens (features-x fewer "
-                             "random draws; changes the regularization "
-                             "noise distribution vs the reference's "
-                             "Bernoulli dropout)")
+                        help="(now the DEFAULT) moment-matched Gaussian "
+                             "dropout on the mel-mixer hiddens — kept for "
+                             "compatibility; see --exact_dropout")
+    parser.add_argument("--exact_dropout", action="store_true",
+                        help="reference-parity Bernoulli dropout on the "
+                             "mixer hiddens instead of the default "
+                             "moment-matched Gaussian (fast-dropout). The "
+                             "default changes the mixer regularization "
+                             "noise DISTRIBUTION (same mean/variance; "
+                             "features-x fewer draws, +5 MFU points at "
+                             "flagship B=64) and tracks exact dropout in "
+                             "150/300/1000-step convergence A/Bs "
+                             "(benchmarks/convergence_ab*.json); use this "
+                             "flag for bit-faithful reference training "
+                             "noise")
     parser.add_argument("--async_checkpoint", action="store_true",
                         help="write checkpoints on a background thread "
                              "(orbax async): the train loop resumes after "
@@ -811,7 +821,13 @@ def main(argv=None):
                     config.model.generator, remat_refiner=True))
         )
 
-    if args.fast_dropout:
+    # fast-dropout is the CLI default since round 4 (1000-step flagship
+    # convergence A/B tracks exact: convergence_ab_flagship.json 1.769 vs
+    # 1.754 final recon; step cost 698 vs 776 ms = 47.0% vs 42.3% MFU,
+    # results_r3_fastdrop.json). --exact_dropout restores the reference's
+    # Bernoulli draws; the YAML-level GeneratorConfig default stays False
+    # (library users opt in explicitly).
+    if not args.exact_dropout:
         config = dataclasses.replace(
             config, model=dataclasses.replace(
                 config.model, generator=dataclasses.replace(
