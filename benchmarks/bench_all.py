@@ -585,12 +585,14 @@ def bench_lm_generate_served(b: int = 64, gen_len: int = 512):
     }
 
 
-def bench_vocoder_train(adversarial: bool = False):
+def bench_vocoder_train(adversarial: bool = False, bf16: bool = False):
     """Vocoder (ISTFTNetGenerator, models/istft_vocoder.py) train-step
     throughput — flagship-shaped: 128 mels, hop 512, upsample 8x8,
     n_fft 16, initial channel 512; B=16 x 32-frame segments (16,384
     samples). Spectral (MR-STFT) objective; adversarial=True adds the
-    HiFi-GAN MPD/MSD D-then-G schedule (train/vocoder_trainer.py)."""
+    HiFi-GAN MPD/MSD D-then-G schedule (train/vocoder_trainer.py);
+    bf16=True is the trainer's --bf16 (conv stack bf16, heads/loss
+    fp32)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -604,7 +606,7 @@ def bench_vocoder_train(adversarial: bool = False):
     gen = ISTFTNetGenerator(
         n_mels=mels, upsample_rates=(8, 8),
         upsample_kernel_sizes=(17, 17), upsample_initial_channel=512,
-        istft_n_fft=n_fft)
+        istft_n_fft=n_fft, dtype=jnp.bfloat16 if bf16 else None)
     rng = np.random.default_rng(0)
     target_len = frames * hop
     mels_in = [jnp.asarray(rng.standard_normal((b, mels, frames)).astype(np.float32))
@@ -714,7 +716,8 @@ def bench_vocoder_train(adversarial: bool = False):
         float(l)
     per = (time.perf_counter() - t0) / ITERS
     out = {
-        "config": tag, "batch": b, "segment_frames": frames,
+        "config": tag + ("_bf16" if bf16 else ""),
+        "batch": b, "segment_frames": frames,
         "ms_per_step": round(per * 1000, 1),
         "samples_per_sec": round(b * target_len / per, 1),
     }
@@ -837,6 +840,8 @@ BENCHES = {
     "7sb": lambda: bench_lm_generate_served(b=1),
     "8": bench_vocoder_train,
     "8a": lambda: bench_vocoder_train(adversarial=True),
+    "8f": lambda: bench_vocoder_train(bf16=True),
+    "8af": lambda: bench_vocoder_train(adversarial=True, bf16=True),
 }
 
 
@@ -848,7 +853,7 @@ def main():
                             "3be", "4",
                             "4b", "4bf", "4br", "4ba", "5", "5p", "6", "6c",
                             "6t", "7", "7b", "7s", "7sb", "7t", "7tb",
-                            "8", "8a"])
+                            "8", "8a", "8f", "8af"])
     p.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "results.json"))
     args = p.parse_args()

@@ -112,6 +112,12 @@ def main(argv=None):
     p.add_argument("--export_dir", default=None,
                    help="after training, export the deployable ISTFTNetFE "
                         "artifact (signal/vocoder.py load_ts format) here")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute / fp32 params: the conv stack runs "
+                        "in bf16 on the MXU (the generator's spec/phase "
+                        "heads and the MR-STFT loss stay fp32) — measured "
+                        "per-component fp32-vs-bf16 rates in "
+                        "benchmarks/probe_vocoder.json")
     args = p.parse_args(argv)
 
     spec_cfg = SpecConfig.from_yaml(args.spec_config)
@@ -132,6 +138,7 @@ def main(argv=None):
         upsample_kernel_sizes=tuple(2 * r + 1 for r in args.upsample_rates),
         upsample_initial_channel=args.upsample_initial_channel,
         istft_n_fft=args.istft_n_fft,
+        dtype=jnp.bfloat16 if args.bf16 else None,
     )
 
     sampler = SegmentSampler(find_wavs(args.wav_dir), spec_cfg,
