@@ -196,12 +196,16 @@ class CausalSelfAttention(nn.Module):
         q = _apply_rope(q, cos, sin)
         k = _apply_rope(k, cos, sin)
         s = cache["k"].shape[1]
-        at = jnp.arange(s)[None, :] == idx[:, None]  # (B, S)
+        # per-row scatter (unique (b, idx[b]) coordinates): XLA updates
+        # the donated scan-carry cache IN PLACE — a jnp.where over the
+        # (B, S, H, D) cache here cost a full-cache rewrite per token
+        # (~30x decode slowdown, measured in results_r4_lmserve.json)
+        bidx = jnp.arange(idx.shape[0])
         cache = {
-            "k": jnp.where(at[..., None, None],
-                           k.astype(cache["k"].dtype), cache["k"]),
-            "v": jnp.where(at[..., None, None],
-                           v.astype(cache["v"].dtype), cache["v"]),
+            "k": cache["k"].at[bidx, idx].set(
+                k[:, 0].astype(cache["k"].dtype)),
+            "v": cache["v"].at[bidx, idx].set(
+                v[:, 0].astype(cache["v"].dtype)),
         }
         mask = (jnp.arange(s)[None, None, :]
                 <= idx[:, None, None])  # (B, 1, S)
