@@ -4,10 +4,10 @@ The MR-STFT vocoder step measured 37.7 ms at 9.6% MFU (bench config 8,
 results_r3_vocoder.json) and round 3 waved it off without arithmetic.
 This probe times every component of the flagship-shaped generator
 (B=16 x 32 mel frames, 128 mels, up 8x8, initial channel 512, n_fft 16)
-with the round-3 chain methodology (probe_backward.py: N=12 calls as a
+with the round-3 chain methodology (probe_backward.py: N_CHAIN calls as a
 lax.scan inside ONE jitted executable, distinct pre-staged inputs, the
 carry threading a 1e-32 scalar so XLA cannot cache iterations, one
-host fetch per measurement — per-call tunnel-latency bias <3 ms/12) —
+host fetch per measurement; N=64 keeps the tunnel-dispatch bias <0.5 ms/iter for these sub-ms components) —
 in the trainer's shipped fp32 AND in bf16, because the vocoder trainer
 had no precision knob and fp32 halves (or worse) the v5e MXU rate.
 
@@ -35,7 +35,7 @@ UP = (8, 8)
 CH0 = 512
 N_FFT = 16
 ISTFT_HOP = 8  # total samples/frame = 8*8*8 = 512 = flagship hop
-N_CHAIN = 12
+N_CHAIN = 64  # sub-ms components: amortize the ~30 ms tunnel dispatch to <0.5 ms/iter
 
 
 def _chain_time(compiled, *args) -> float:
@@ -178,7 +178,8 @@ def probe_loss_tail():
         spec = jnp.exp(jnp.clip(x, -11.0, 6.0))
         wav = istft(spec, jnp.zeros_like(spec), n_fft=N_FFT,
                     hop_length=ISTFT_HOP, win_length=N_FFT)[:, 0]
-        return multi_resolution_stft_loss(wav, ref)[None]
+        n = min(wav.shape[1], ref.shape[1])  # trainer loss_fn contract
+        return multi_resolution_stft_loss(wav[:, :n], ref[:, :n])[None]
 
     return probe_component("istft+mrstft_loss[fp32]", apply_fn, ref, xs)
 
