@@ -176,7 +176,14 @@ def restore_checkpoint(path: str, abstract_state: Any) -> Any:
     template (e.g. jax.eval_shape of the init fn, or an actual state)."""
     ckptr = _checkpointer()
     template = jax.tree.map(_abstract_leaf, _encode_keys_abstract(abstract_state))
-    return _decode_keys(ckptr.restore(path, template), abstract_state)
+    try:
+        return _decode_keys(ckptr.restore(path, template), abstract_state)
+    except Exception:  # noqa: BLE001
+        # legacy (pre-round-4) checkpoints stored typed key arrays
+        # directly; retry with the unencoded template so old run dirs
+        # keep auto-resuming (tests/test_trainer.py pins this path)
+        legacy = jax.tree.map(_abstract_leaf, abstract_state)
+        return ckptr.restore(path, legacy)
 
 
 def save_generator_only(output_dir: str, gen_params: Any, name: str = "generator") -> str:

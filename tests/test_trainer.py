@@ -313,6 +313,44 @@ def test_resume_across_rng_impl(tmp_path, capsys):
 
 
 @pytest.mark.slow
+def test_checkpoint_key_roundtrip_and_legacy(tmp_path):
+    """PRNG-key leaves round-trip checkpoints as raw key_data (the
+    multihost-serializable round-4 format), and LEGACY checkpoints that
+    stored typed key arrays directly still restore (old run dirs keep
+    auto-resuming)."""
+    import orbax.checkpoint as ocp
+
+    from mqgan_tpu.utils.checkpoint import (restore_checkpoint,
+                                            save_checkpoint)
+
+    state = {"w": jnp.arange(4.0), "rng": jax.random.key(7, impl="rbg"),
+             "step": jnp.int32(3)}
+    abstract = jax.eval_shape(lambda: state)
+
+    new_dir = str(tmp_path / "new")
+    save_checkpoint(new_dir, jax.device_get(state), 1)
+    r = restore_checkpoint(os.path.join(new_dir, "checkpoint_epoch_001"),
+                           abstract)
+    assert jnp.issubdtype(r["rng"].dtype, jax.dtypes.prng_key)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(r["rng"])),
+        np.asarray(jax.random.key_data(state["rng"])))
+    # the restored key continues the same stream
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.normal(r["rng"], (3,))),
+        np.asarray(jax.random.normal(state["rng"], (3,))))
+
+    legacy_path = str(tmp_path / "legacy" / "checkpoint_epoch_001")
+    legacy_ckptr = ocp.StandardCheckpointer()
+    legacy_ckptr.save(legacy_path, state, force=True)
+    legacy_ckptr.wait_until_finished()  # StandardCheckpointer is async
+    r2 = restore_checkpoint(legacy_path, abstract)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(r2["rng"])),
+        np.asarray(jax.random.key_data(state["rng"])))
+    np.testing.assert_array_equal(np.asarray(r2["w"]), np.arange(4.0))
+
+
 def test_seq_par_constraint_errors(tmp_path):
     """--seq_par's documented limits fail LOUDLY at construction (before
     any data/device work): crop buckets must divide by the factor, and
