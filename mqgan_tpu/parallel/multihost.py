@@ -90,12 +90,16 @@ def make_global_batch(mesh, local_batch):
     """Assemble a globally-sharded array from per-process local data.
 
     local_batch: numpy array holding THIS process's rows; the global batch
-    is the concatenation over processes, sharded over the mesh's data axis.
-    Single-process: equivalent to a device_put with the batch sharding.
+    is the concatenation over processes, sharded over the mesh's
+    (dcn, data) batch axes — and for (B, T, ...) arrays the TIME axis
+    additionally over 'seq' (multihost x sequence parallelism: each
+    row's seq shards live on ONE process's devices, enforced by the
+    trainer, so this process still supplies its rows with FULL T).
+    Single-process: equivalent to a device_put with the same sharding.
     """
-    from mqgan_tpu.parallel.mesh import batch_sharding
+    from mqgan_tpu.parallel.mesh import train_array_sharding
 
-    sharding = batch_sharding(mesh)
+    sharding = train_array_sharding(mesh, np.ndim(local_batch))
     if jax.process_count() == 1:
         return jax.device_put(local_batch, sharding)
     return jax.make_array_from_process_local_data(sharding, np.asarray(local_batch))

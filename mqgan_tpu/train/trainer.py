@@ -94,10 +94,24 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         n_seq = self.mesh.shape.get("seq", 1)
         if multihost and n_seq > 1:
-            raise ValueError(
-                "sequence parallelism is single-process for now: shard "
-                "the time axis over intra-host devices, processes over "
-                "'data' (make_global_batch assembles per-process ROWS)")
+            # multihost x seq-par composes when every batch row's seq
+            # shard group lives INSIDE one process: rows shard over the
+            # (dcn, data) axes (crossing processes), the time axis over
+            # intra-process 'seq' devices — make_global_batch only ever
+            # assembles per-process ROWS with full T, and GSPMD's conv
+            # halo exchanges ride intra-process links. Enforce the
+            # alignment instead of refusing (2-process equality leg:
+            # tests/test_parallel.py::test_multihost_seq_par_param_equality).
+            devs = self.mesh.devices  # (dcn, data, model, seq)
+            for idx in np.ndindex(devs.shape[:-1]):
+                owners = {d.process_index for d in devs[idx]}
+                if len(owners) > 1:
+                    raise ValueError(
+                        f"seq-parallel group {idx} spans processes "
+                        f"{sorted(owners)}: under --multihost the 'seq' "
+                        f"axis must sit inside one process (choose "
+                        f"n_seq dividing the per-process device count "
+                        f"and keep seq the innermost mesh axis)")
         if n_seq > 1:
             bad = [t for t in config.data.crop_len if t % n_seq]
             if bad:

@@ -28,6 +28,7 @@ def main():
     data_dir, out_dir, params_npz = sys.argv[5:8]
     num_epochs = int(sys.argv[8]) if len(sys.argv) > 8 else 2
     save_interval = int(sys.argv[9]) if len(sys.argv) > 9 else 99
+    n_seq = int(sys.argv[10]) if len(sys.argv) > 10 else 1
 
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = (
@@ -85,9 +86,16 @@ def main():
                               num_plot_examples=0),
     )
 
+    mesh = None
+    if n_seq > 1:
+        # multihost x sequence parallelism: rows over 'data' (crossing
+        # processes), each crop's TIME axis over intra-process 'seq'
+        from mqgan_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_seq=n_seq)
     trainer = Trainer(
         config, use_wandb=False, dtype=jnp.float32,
-        multihost=(num_procs > 1),
+        multihost=(num_procs > 1), mesh=mesh,
     )
     trainer.train()
 

@@ -302,7 +302,7 @@ def _dual_env():
 
 
 def _run_dual(worker, data_dir, out, npz, env, *, num_epochs, save_interval,
-              signal_after_epoch=None, timeout=900):
+              n_seq=1, signal_after_epoch=None, timeout=900):
     """Launch a 2-process jax.distributed run; optionally SIGTERM both
     workers once proc 0 prints the given epoch line. Returns the joined
     logs (asserts both exit 0)."""
@@ -317,7 +317,8 @@ def _run_dual(worker, data_dir, out, npz, env, *, num_epochs, save_interval,
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(i), "2", str(port), "4",
-             data_dir, out, npz, str(num_epochs), str(save_interval)],
+             data_dir, out, npz, str(num_epochs), str(save_interval),
+             str(n_seq)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True)
         for i in range(2)
@@ -390,6 +391,41 @@ def test_multihost_checkpoint_save_and_resume(tmp_path):
             a[k], b[k], rtol=1e-3, atol=5e-5,
             err_msg=f"param {k}: resumed 2-process run diverged from the "
                     f"uninterrupted one")
+
+
+@pytest.mark.slow
+def test_multihost_seq_par_param_equality(tmp_path):
+    """multihost x SEQUENCE parallelism (round-4: the round-3
+    single-process guard is now an alignment check): 2 real processes,
+    rows over 'data' crossing processes, each crop's TIME axis sharded
+    over 2 intra-process 'seq' devices — final params equal the plain
+    single-process run. GSPMD halo-exchanges the convs intra-process;
+    make_global_batch supplies per-process rows with full T."""
+    import subprocess
+    import sys
+
+    data_dir = _make_uneven_dataset(str(tmp_path / "mels"))
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = _dual_env()
+
+    single = str(tmp_path / "single.npz")
+    r = subprocess.run(
+        [sys.executable, worker, "0", "1", "0", "8",
+         data_dir, str(tmp_path / "single"), single, "2", "99"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, f"single run failed:\n{r.stdout}\n{r.stderr}"
+
+    dual = str(tmp_path / "dualsp.npz")
+    _run_dual(worker, data_dir, str(tmp_path / "dualsp"), dual, env,
+              num_epochs=2, save_interval=99, n_seq=2)
+
+    a, b = np.load(single), np.load(dual)
+    assert sorted(a.files) == sorted(b.files)
+    for k in a.files:
+        np.testing.assert_allclose(
+            a[k], b[k], rtol=1e-3, atol=5e-5,
+            err_msg=f"param {k}: multihost x seq-par diverged from "
+                    f"single-process")
 
 
 @pytest.mark.slow
