@@ -77,24 +77,28 @@ def medium_cfg(variant, lr=None, warmup=None, scale="medium"):
         "model": model_d,
         "training": train_d,
     })
+    # composable: "+"-joined parts, e.g. "fast+fsqnoise5" checks the
+    # default-on fast-dropout against the codebook-health knob together
     over = {}
-    if variant == "fast":
-        over["fast_dropout"] = True
-    elif variant in ("exact", "accum"):
-        # "accum": identical config; the step runs as 2 scanned
-        # microbatches (grad_accum=2, see run_variant) — the convergence
-        # check for the effective-batch knob (dropout draws differ from
-        # "exact" by construction: per-microbatch rng folds)
-        pass
-    elif variant.startswith("fsqnoise"):
-        # codebook-health experiment (round-1 observation: usage collapse
-        # to <5/1000 codes on synthetic data): A/B the reference's
-        # mitigation knob, FSQ noise dropout (quantizer.py:142-156;
-        # reference default 0.0 — "fsqnoise0" IS the baseline; the NSQ
-        # paper it cites, arXiv:2411.19842 §3.2, uses 0.5)
-        over["fsq_noise_dropout"] = float(variant[len("fsqnoise"):]) / 10.0
-    else:
-        raise SystemExit(f"unknown variant {variant}")
+    for part in variant.split("+"):
+        if part == "fast":
+            over["fast_dropout"] = True
+        elif part in ("exact", "accum"):
+            # "accum": identical config; the step runs as 2 scanned
+            # microbatches (grad_accum=2, see run_variant) — the
+            # convergence check for the effective-batch knob (dropout
+            # draws differ from "exact" by construction)
+            pass
+        elif part.startswith("fsqnoise"):
+            # codebook-health experiment (round-1 observation: usage
+            # collapse to <5/1000 codes on synthetic data): A/B the
+            # reference's mitigation knob, FSQ noise dropout
+            # (quantizer.py:142-156; reference default 0.0 — "fsqnoise0"
+            # IS the baseline; the NSQ paper it cites,
+            # arXiv:2411.19842 §3.2, uses 0.5)
+            over["fsq_noise_dropout"] = float(part[len("fsqnoise"):]) / 10.0
+        else:
+            raise SystemExit(f"unknown variant part {part!r}")
     if over:
         cfg = dataclasses.replace(cfg, model=dataclasses.replace(
             cfg.model, generator=dataclasses.replace(
@@ -125,7 +129,7 @@ def run_variant(variant, steps, b, t, log_every, lr=None, warmup=None,
         training_cfg=cfg.training, rng=k,
     )
     step = make_train_step(cfg, train_d=False, dtype=jnp.bfloat16,
-                           grad_accum=2 if variant == "accum" else 1)
+                           grad_accum=2 if "accum" in variant.split("+") else 1)
     compiled = step.lower(state, init_mel, lens).compile()
 
     traj = []
