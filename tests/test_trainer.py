@@ -353,8 +353,10 @@ def test_checkpoint_key_roundtrip_and_legacy(tmp_path):
 
 def test_seq_par_constraint_errors(tmp_path):
     """--seq_par's documented limits fail LOUDLY at construction (before
-    any data/device work): crop buckets must divide by the factor, and
-    sequence parallelism does not compose with --multihost."""
+    any data/device work): crop buckets must divide by the factor. With
+    --multihost, seq-par now COMPOSES (round 4) as long as every seq
+    group sits inside one process — trivially true single-process, so
+    construction succeeds where round 3 refused."""
     import dataclasses
 
     from mqgan_tpu.parallel.mesh import make_mesh
@@ -367,9 +369,10 @@ def test_seq_par_constraint_errors(tmp_path):
         cfg, data=dataclasses.replace(cfg.data, crop_len=(30, 48)))
     with pytest.raises(ValueError, match="do not divide"):
         Trainer(bad_cfg, use_wandb=False, dtype=jnp.float32, mesh=mesh_sp)
-    with pytest.raises(ValueError, match="single-process"):
-        Trainer(cfg, use_wandb=False, dtype=jnp.float32, mesh=mesh_sp,
-                multihost=True)
+    t = Trainer(cfg, use_wandb=False, dtype=jnp.float32, mesh=mesh_sp,
+                multihost=True)  # aligned: all devices are process 0
+    assert t.mesh.shape["seq"] == 4
+    t.logger.close()
 
 
 def test_sigterm_graceful_checkpoint(tmp_path):
