@@ -238,6 +238,16 @@ class LoggingConfig:
     # pending saves at exit (and orbax serializes save-after-save itself).
     async_save: bool = False
     num_plot_examples: int = 10
+    # Codebook-collapse guardrail: warn loudly when the logged
+    # codebook_usage stays below `codebook_usage_floor` for
+    # `codebook_collapse_patience` consecutive metric logs. The collapse
+    # mode is real and silent — recon keeps improving while the FSQ
+    # quantizer degenerates to one code (measured on-chip:
+    # benchmarks/convergence_ab_fsqnoise.json, usage 0.005 vs 0.24 with
+    # generator.fsq_noise_dropout 0.5, the reference's mitigation knob,
+    # reference quantizer.py:142-162). floor <= 0 disables the check.
+    codebook_usage_floor: float = 0.02
+    codebook_collapse_patience: int = 5
     wandb: WandbConfig = field(default_factory=WandbConfig)
 
 

@@ -127,6 +127,11 @@ class Trainer:
         # writes a checkpoint before exiting (a second signal force-kills)
         self._stop_requested = False
 
+        # codebook-collapse guardrail (LoggingConfig.codebook_usage_floor):
+        # count consecutive metric logs with usage below the floor
+        self._collapse_streak = 0
+        self._collapse_warned = False
+
         self._setup_data()
         self._setup_state()
         self._steps: Dict[bool, callable] = {}
@@ -357,6 +362,7 @@ class Trainer:
                     bad = [k for k, v in last.items() if not np.isfinite(v)]
                     print(f"WARNING: non-finite metrics at step "
                           f"{int(self.state.step)}: {bad}")
+                self._check_codebook_health(last, int(self.state.step))
                 elapsed = time.time() - t0
                 last["frames_per_sec"] = frames / max(elapsed, 1e-9)
                 last["epoch"] = epoch
@@ -369,6 +375,41 @@ class Trainer:
             self._maybe_profile(_PROFILE_START + self.profile_steps)  # close
         self._log_train_images(epoch, last_batch)
         return last
+
+    def _check_codebook_health(self, metrics: Dict[str, float], step: int):
+        """Warn loudly (step-stamped, like the non-finite-metric warning)
+        when codebook_usage stays below the configured floor for N
+        consecutive metric logs. Codebook collapse is a SILENT failure:
+        recon keeps improving while FSQ degenerates to one active code
+        (measured on-chip, benchmarks/convergence_ab_fsqnoise.json —
+        usage 0.005 at fsq_noise_dropout 0 vs 0.24 at 0.5). The reference
+        logs usage (train.py:533-537) but never checks it; this guard is
+        the rebuild's addition. Warns once per sustained collapse episode;
+        a recovery above the floor re-arms it."""
+        log_cfg = self.config.logging
+        floor = log_cfg.codebook_usage_floor
+        usage = metrics.get("codebook_usage")
+        if floor <= 0 or usage is None or not np.isfinite(usage):
+            return
+        if usage < floor:
+            self._collapse_streak += 1
+            if (self._collapse_streak >= log_cfg.codebook_collapse_patience
+                    and not self._collapse_warned):
+                self._collapse_warned = True
+                print(
+                    f"WARNING: codebook collapse at step {step}: "
+                    f"codebook_usage {usage:.4f} has stayed below "
+                    f"{floor} for {self._collapse_streak} consecutive "
+                    f"logs (perplexity "
+                    f"{metrics.get('codebook_perplexity', float('nan')):.1f})."
+                    " Recon loss will keep improving while the quantizer"
+                    " degenerates to a near-constant code. Mitigation:"
+                    " set generator.fsq_noise_dropout: 0.5 in the model"
+                    " config (measured to hold usage >20% on low-entropy"
+                    " data, benchmarks/convergence_ab_fsqnoise.json).")
+        else:
+            self._collapse_streak = 0
+            self._collapse_warned = False
 
     def _maybe_profile(self, n: int):
         """Capture a device trace for steps [START, START+profile_steps) —
@@ -737,9 +778,12 @@ def main(argv=None):
                              "refiners at B=64; the flagship never needs "
                              "it and it is slower at equal batch)")
     parser.add_argument("--fast_dropout", action="store_true",
-                        help="(now the DEFAULT) moment-matched Gaussian "
-                             "dropout on the mel-mixer hiddens — kept for "
-                             "compatibility; see --exact_dropout")
+                        help="DEPRECATED no-op: moment-matched Gaussian "
+                             "mixer dropout became the default in round 4; "
+                             "the flag is kept so older scripted "
+                             "invocations keep working. Combining it with "
+                             "--exact_dropout is an error (the two request "
+                             "opposite semantics); see --exact_dropout")
     parser.add_argument("--exact_dropout", action="store_true",
                         help="reference-parity Bernoulli dropout on the "
                              "mixer hiddens instead of the default "
@@ -792,6 +836,13 @@ def main(argv=None):
                              "one-pass step on pad-free batches "
                              "(tests/test_train_step.py)")
     args = parser.parse_args(argv)
+
+    if args.fast_dropout and args.exact_dropout:
+        # contradictory: --fast_dropout predates the default flip and
+        # would otherwise silently lose to --exact_dropout (ADVICE r4)
+        parser.error("--fast_dropout and --exact_dropout request opposite "
+                     "mixer-dropout semantics; drop one (--fast_dropout is "
+                     "a deprecated no-op — fast dropout is the default)")
 
     import os as _os
 

@@ -511,3 +511,62 @@ def test_keep_best_generator_snapshot(tmp_path):
     assert os.path.getmtime(meta) == before  # not overwritten
     assert trainer2._best_eval == pytest.approx(rec["eval_recon_post_mse"])
     trainer2.logger.close()
+
+
+def test_codebook_collapse_warning(capsys):
+    """The collapse guardrail fires after `patience` consecutive low-usage
+    logs, warns exactly once per episode, and re-arms after recovery."""
+    from types import SimpleNamespace
+
+    from mqgan_tpu.train.trainer import Trainer
+
+    cfg = TrainConfig.from_dict({"logging": {
+        "codebook_usage_floor": 0.02, "codebook_collapse_patience": 3}})
+    stub = SimpleNamespace(config=cfg, _collapse_streak=0,
+                           _collapse_warned=False)
+    check = Trainer._check_codebook_health
+
+    # healthy logs never warn
+    for step in range(5):
+        check(stub, {"codebook_usage": 0.3}, step)
+    assert "collapse" not in capsys.readouterr().out
+
+    # two low logs: below patience, silent
+    check(stub, {"codebook_usage": 0.001}, 10)
+    check(stub, {"codebook_usage": 0.001}, 20)
+    assert "collapse" not in capsys.readouterr().out
+
+    # third consecutive low log trips the warning (once)
+    check(stub, {"codebook_usage": 0.001, "codebook_perplexity": 1.0}, 30)
+    out = capsys.readouterr().out
+    assert "WARNING: codebook collapse at step 30" in out
+    assert "fsq_noise_dropout" in out  # actionable mitigation named
+
+    # sustained collapse does not spam
+    check(stub, {"codebook_usage": 0.001}, 40)
+    assert "collapse" not in capsys.readouterr().out
+
+    # recovery re-arms; a second episode warns again
+    check(stub, {"codebook_usage": 0.5}, 50)
+    for step in (60, 70, 80):
+        check(stub, {"codebook_usage": 0.0}, step)
+    assert "WARNING: codebook collapse at step 80" in capsys.readouterr().out
+
+    # floor <= 0 disables the check entirely
+    cfg_off = TrainConfig.from_dict({"logging": {"codebook_usage_floor": 0}})
+    stub_off = SimpleNamespace(config=cfg_off, _collapse_streak=0,
+                               _collapse_warned=False)
+    for step in range(10):
+        check(stub_off, {"codebook_usage": 0.0}, step)
+    assert "collapse" not in capsys.readouterr().out
+
+
+def test_contradictory_dropout_flags_error(tmp_path, capsys):
+    """--fast_dropout (deprecated no-op) combined with --exact_dropout is
+    a hard CLI error instead of silently resolving to exact (ADVICE r4)."""
+    from mqgan_tpu.train.trainer import main as trainer_main
+
+    with pytest.raises(SystemExit) as ei:
+        trainer_main(["--fast_dropout", "--exact_dropout", "--no_wandb"])
+    assert ei.value.code == 2  # argparse error exit
+    assert "opposite" in capsys.readouterr().err
