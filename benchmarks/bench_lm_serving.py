@@ -42,7 +42,7 @@ def _flagship_lm(arch):
     args = dict(vocab_size=VOCAB, num_genres=10, emb_dim=512, pad_id=0,
                 bos_id=1, arch=arch, lstm_hid=1024, lstm_layers=2,
                 n_layers=6, n_heads=8, mlp_ratio=4)
-    model = build_token_lm(args, dropout=0.0)
+    model = build_token_lm(args, dropout=0.0, for_inference=True)
     params = jax.jit(model.init)(
         jax.random.key(0), jnp.zeros((1, 8), jnp.int32),
         jnp.zeros((1,), jnp.int32), None)["params"]

@@ -84,7 +84,7 @@ def main(argv=None):
         from mqgan_tpu.models.lm_sampling import generate_tokens_transformer
     from mqgan_tpu.models.token_lm import build_token_lm
 
-    model = build_token_lm(lm_args, dropout=0.0)
+    model = build_token_lm(lm_args, dropout=0.0, for_inference=True)
     # template for orbax restore (jitted init: unjitted tracing is
     # minutes-slow through remote backends)
     tok0 = jnp.zeros((1, 4), jnp.int32)

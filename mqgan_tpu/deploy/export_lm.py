@@ -58,11 +58,18 @@ def export_music_lm(
     bos_id: int = 1,
     lm_args: dict | None = None,
     verify: bool = True,
+    kv_dtype: str | None = None,
 ) -> str:
     """Serialize the dynamic-control per-row sampler per (P, L) bucket
     pair and the scoring head per length bucket, params baked in. Works
     for both archs (models/token_lm.py dispatches the served sampler);
-    the manifest records which one so the runtime can report it."""
+    the manifest records which one so the runtime can report it.
+
+    ``kv_dtype`` (transformer only): KV-cache storage dtype baked into
+    the generation programs — "bfloat16" halves the decode loop's
+    attention-read HBM traffic (scores/softmax stay fp32; see
+    models/lm_sampling.py). Recorded in the manifest; sampled streams
+    are self-consistent per dtype but may differ across dtypes."""
     import jax
     import jax.numpy as jnp
     from jax import export as jexport
@@ -93,6 +100,13 @@ def export_music_lm(
     }
     if lm_args is not None:
         manifest["lm_args"] = dict(lm_args)
+    sampler_kw = {}
+    if kv_dtype is not None:
+        if manifest["arch"] != "transformer":
+            raise ValueError("kv_dtype applies to the transformer arch "
+                             "only (the LSTM carries no KV cache)")
+        manifest["kv_dtype"] = str(kv_dtype)
+        sampler_kw["kv_dtype"] = jnp.dtype(kv_dtype)
 
     i32, f32 = jnp.int32, jnp.float32
     scalar_i = jax.ShapeDtypeStruct((), i32)
@@ -107,7 +121,7 @@ def export_music_lm(
                 return sampler(
                     model, params, genre_ids, seeds, prompt, prompt_lens,
                     temperature, top_k, top_p, vocab_mask,
-                    max_len=_l, bos_id=bos_id)
+                    max_len=_l, bos_id=bos_id, **sampler_kw)
 
             exp = jexport.export(jax.jit(gen_fn), platforms=platforms)(
                 jax.ShapeDtypeStruct((b,), i32),          # genre_ids
@@ -359,7 +373,7 @@ def load_lm_from_run(lm_run: str):
     with open(os.path.join(lm_run, "best.json")) as f:
         best = json.load(f)
     a = best["args"]
-    model = build_token_lm(a, dropout=0.0)
+    model = build_token_lm(a, dropout=0.0, for_inference=True)
     tok0 = jnp.zeros((1, 4), jnp.int32)
     template = jax.jit(model.init)(
         jax.random.key(0), tok0, jnp.zeros((1,), jnp.int32), None
@@ -385,6 +399,10 @@ def main(argv=None):
                    default=list(DEFAULT_PROMPT_BUCKETS))
     p.add_argument("--score_buckets", type=int, nargs="+",
                    default=list(DEFAULT_SCORE_BUCKETS))
+    p.add_argument("--kv_bf16", action="store_true",
+                   help="bake a bfloat16 KV cache into the transformer "
+                        "generation programs (halves decode attention "
+                        "reads; scores/softmax stay fp32)")
     args = p.parse_args(argv)
 
     model, params, a = load_lm_from_run(args.lm_run)
@@ -394,6 +412,7 @@ def main(argv=None):
         prompt_buckets=args.prompt_buckets,
         score_buckets=args.score_buckets,
         bos_id=a["bos_id"], lm_args=a,
+        kv_dtype="bfloat16" if args.kv_bf16 else None,
     )
     print(f"exported LM to {args.output}")
 

@@ -17,13 +17,23 @@ from typing import Any
 ARCHS = ("lstm", "transformer")
 
 
-def build_token_lm(args: dict, *, dropout: float = 0.0, dtype: Any = None):
+def build_token_lm(args: dict, *, dropout: float = 0.0, dtype: Any = None,
+                   for_inference: bool = False):
     """Build the token LM a trainer-args dict describes.
 
     ``args`` is the lstm_trainer argparse namespace as a dict (the exact
     object embedded in a run's best.json); ``arch`` defaults to "lstm"
     for runs that predate the transformer. ``dropout`` defaults to 0.0
     (the inference/deploy setting); trainers pass their own rate.
+
+    ``for_inference=True`` strips the TRAINING-only implementation knobs
+    (``--flash_lm`` Pallas attention, ``--remat_lm`` rematerialization)
+    when rebuilding from a run's best.json for export/serving. Both only
+    change how the training forward is computed, never its numerics
+    (remat is bit-equal by construction; flash is the same attention),
+    and the Pallas TPU flash kernel cannot lower on the CPU platform the
+    exporters always include — so a --flash_lm-trained run must not
+    carry the flag into deploy rebuilds.
     """
     arch = args.get("arch", "lstm")
     if arch == "transformer":
@@ -34,8 +44,9 @@ def build_token_lm(args: dict, *, dropout: float = 0.0, dtype: Any = None):
             emb_dim=args["emb_dim"], n_layers=args["n_layers"],
             n_heads=args["n_heads"], mlp_ratio=args["mlp_ratio"],
             pad_id=args["pad_id"], dropout=dropout,
-            remat=bool(args.get("remat_lm", False)),
-            flash=bool(args.get("flash_lm", False)), dtype=dtype,
+            remat=(not for_inference) and bool(args.get("remat_lm", False)),
+            flash=(not for_inference) and bool(args.get("flash_lm", False)),
+            dtype=dtype,
         )
     if arch == "lstm":
         from mqgan_tpu.models.music_lstm import MusicLSTM

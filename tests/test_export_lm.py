@@ -142,3 +142,49 @@ def test_v1_manifest_rejected(lm_export_dir, tmp_path):
         json.dump(manifest, f)
     with pytest.raises(ValueError, match="re-export"):
         ExportedMusicLM(str(old))
+
+
+def test_flash_lm_run_deploys_on_cpu(tmp_path):
+    """A --flash_lm --remat_lm-trained transformer run dir must rebuild
+    for export/serving WITHOUT the training-only implementation knobs:
+    the Pallas TPU flash kernel cannot lower on the CPU platform the
+    exporter always includes (ADVICE r4 medium). load_lm_from_run builds
+    with for_inference=True; the stripped model's logits equal the
+    flagged model's semantics (flash/remat change implementation only),
+    and the full export self-verify runs green on CPU."""
+    import json
+
+    from mqgan_tpu.deploy.export_lm import export_music_lm, load_lm_from_run
+    from mqgan_tpu.utils.checkpoint import save_generator_only
+
+    targs = dict(vocab_size=V, num_genres=G, emb_dim=16, n_layers=2,
+                 n_heads=2, mlp_ratio=2, pad_id=0)
+    model = MusicTransformer(**targs, dropout=0.0)
+    params = model.init(jax.random.key(5), jnp.zeros((1, 4), jnp.int32),
+                        jnp.zeros((1,), jnp.int32), None)["params"]
+    run = tmp_path / "flash_run"
+    path = save_generator_only(str(run), jax.device_get(params), "model_e1")
+    with open(run / "best.json", "w") as f:
+        json.dump({"epoch": 1, "val_loss": 1.0, "path": path,
+                   "args": dict(targs, bos_id=1, arch="transformer",
+                                flash_lm=True, remat_lm=True)}, f)
+
+    loaded_model, loaded_params, lm_args = load_lm_from_run(str(run))
+    assert lm_args["flash_lm"] is True  # args preserved verbatim...
+    assert loaded_model.flash is False  # ...but the rebuild strips them
+    assert loaded_model.remat is False
+
+    # the stripped rebuild is the same function: logits match the
+    # training-config model run with flash/remat off
+    toks = jnp.asarray([[1, 3, 5, 2]], jnp.int32)
+    genre = jnp.zeros((1,), jnp.int32)
+    ref = model.apply({"params": params}, toks, genre, None)
+    got = loaded_model.apply({"params": loaded_params}, toks, genre, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+    # and the export path (which jit-traces through __call__ on CPU)
+    # completes with its internal verification
+    export_music_lm(loaded_model, loaded_params,
+                    str(tmp_path / "flash_export"), gen_buckets=(16,),
+                    prompt_buckets=(1,), score_buckets=(12,),
+                    lm_args=lm_args, verify=True)
