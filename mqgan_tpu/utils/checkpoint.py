@@ -115,6 +115,14 @@ def _encode_keys_abstract(tree):
 def _decode_keys(restored, template):
     def dec(r, t):
         if _is_key_leaf(t):
+            if _is_key_leaf(r):
+                # legacy (pre-round-4) checkpoints stored the typed key
+                # array directly; orbax hands it back as-is regardless of
+                # the key_data template, so accept it unchanged (its dtype
+                # carries the impl). Old run dirs keep auto-resuming with
+                # no retry — genuine restore failures propagate directly
+                # instead of being masked by a second attempt (ADVICE r4).
+                return r
             return jax.random.wrap_key_data(
                 jax.numpy.asarray(r), impl=_key_impl_name(t.dtype))
         return r
@@ -176,14 +184,13 @@ def restore_checkpoint(path: str, abstract_state: Any) -> Any:
     template (e.g. jax.eval_shape of the init fn, or an actual state)."""
     ckptr = _checkpointer()
     template = jax.tree.map(_abstract_leaf, _encode_keys_abstract(abstract_state))
-    try:
-        return _decode_keys(ckptr.restore(path, template), abstract_state)
-    except Exception:  # noqa: BLE001
-        # legacy (pre-round-4) checkpoints stored typed key arrays
-        # directly; retry with the unencoded template so old run dirs
-        # keep auto-resuming (tests/test_trainer.py pins this path)
-        legacy = jax.tree.map(_abstract_leaf, abstract_state)
-        return ckptr.restore(path, legacy)
+    # one restore handles BOTH on-disk formats: orbax returns leaves in
+    # their STORED form (key_data uint32 for round-4+ saves, typed key
+    # arrays for legacy ones) regardless of the template dtype, and
+    # _decode_keys normalizes either to a typed key. No blind retry:
+    # missing/corrupt/shape-mismatched checkpoints raise their real error
+    # (tests/test_trainer.py pins both format paths).
+    return _decode_keys(ckptr.restore(path, template), abstract_state)
 
 
 def save_generator_only(output_dir: str, gen_params: Any, name: str = "generator") -> str:
