@@ -285,10 +285,20 @@ def generate_tokens_transformer_served(
     *,
     max_len: int,
     bos_id: int = 1,
+    kv_dtype=None,
 ) -> jax.Array:
     """The transformer twin of `generate_tokens_served` — SAME signature
     and per-row solo-equality contract, so deploy/export_lm.py and the
     http_lm batcher dispatch on arch without caring which model runs.
+
+    ``kv_dtype`` overrides the KV-cache storage dtype (default: the
+    module dtype, fp32 for deploy rebuilds). bf16 halves the
+    attention-read bytes per decode step — the decode loop is
+    HBM-traffic-bound, not FLOPs-bound — while scores/softmax stay fp32
+    (the cache is cast up after the read, token_transformer.step_rows).
+    Sampled streams can differ from the fp32 cache by rounding; the
+    per-row solo-exactness contract holds WITHIN a dtype (a bf16-cache
+    batch row equals a bf16-cache solo row, test-pinned).
 
     The prefix ([BOS] + each row's prompt, right-padded to the P bucket)
     prefills every layer's KV cache in one MXU pass; per-row logits are
@@ -320,7 +330,7 @@ def generate_tokens_transformer_served(
     # positions written: prefill [0, P+1), steps up to
     # prompt_lens[b] + max_len - 1 <= P + max_len - 1
     caches = init_cache(model, b, p_bucket + max_len,
-                        dtype=model.dtype or jnp.float32)
+                        dtype=kv_dtype or model.dtype or jnp.float32)
     logits, caches = model.apply(
         {"params": params}, prefix, genre_ids, caches, prompt_lens,
         method=MusicTransformer.prefill)
@@ -365,6 +375,7 @@ def generate_tokens_transformer(
     bos_id: int = 1,
     prompt: jax.Array | None = None,  # (B, P) optional token prefix
     forbidden_tokens: tuple = (),
+    kv_dtype=None,  # KV-cache storage dtype override (see the served twin)
 ) -> jax.Array:
     """`generate_tokens` for the MusicTransformer: the prefix ([BOS] +
     prompt) is prefilled in ONE batched MXU pass that populates every
@@ -390,7 +401,7 @@ def generate_tokens_transformer(
     # cache covers the prefix plus every step-fed token (the last sampled
     # token is never fed back, hence the -1)
     caches = init_cache(model, b, p_len + max_len,
-                        dtype=model.dtype or jnp.float32)
+                        dtype=kv_dtype or model.dtype or jnp.float32)
     logits, caches = model.apply(
         {"params": params}, prefix, genre_ids, caches,
         method=MusicTransformer.prefill)
