@@ -33,7 +33,13 @@ def main():
     from mqgan_tpu.core.masking import sequence_mask
     from mqgan_tpu.models.preencoder import PreEncoder
 
-    gen = PreEncoder.from_config(128, GeneratorConfig(), dtype=jnp.bfloat16)
+    # poly_mixers="decode" is the shipped serving default (round 5,
+    # deploy/export.py / deploy/reencode.py): tokens bit-identical to the
+    # exact path (tests/test_mixer_poly.py), post-mixer via Chebyshev
+    # interpolation — the headline measures what deployments actually run
+    gen = PreEncoder.from_config(
+        128, GeneratorConfig(), dtype=jnp.bfloat16
+    ).clone(poly_mixers="decode")
 
     rng = np.random.default_rng(0)
     # distinct inputs per iteration — the execution tunnel caches repeated

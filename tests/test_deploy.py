@@ -561,3 +561,50 @@ def test_streaming_from_runtime_uses_manifest_halos(tmp_path, rng):
         rt.decode(toks[None, :], np.array([50], np.int32)))[0]
     assert streamed.shape == offline.shape == (50, MEL)
     np.testing.assert_allclose(streamed, offline, atol=1e-5)
+
+
+def test_checkpoint_reencode_poly_default(tmp_path, small_gen, rng):
+    """The serving default is poly_mixers='decode' (VERDICT r4 #6:
+    recommended == default): tokens are BIT-IDENTICAL to the exact-mixer
+    path, decode deviates only at interpolation level, --exact_mixers
+    opts out, and seq_parallel forces exact (per-window Chebyshev fits
+    would break its exact-vs-full contract)."""
+    import yaml
+
+    from mqgan_tpu.deploy.reencode import CheckpointReencoder
+    from mqgan_tpu.utils.checkpoint import save_generator_only
+
+    gen, params = small_gen
+    ckpt = save_generator_only(str(tmp_path), params["params"], "gen")
+    cfg = {
+        "model": {
+            "mel_channels": MEL,
+            "generator": {
+                "channels": [8, 12], "kernel_sizes": [3], "dropout": 0.0,
+                "fsq_levels": [8, 5, 5, 5], "refiner_base_channels": 4,
+                "refiner_depth": 2,
+            },
+        },
+        "data": {"crop_len": [32]},
+    }
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    default = CheckpointReencoder(str(cfg_path), ckpt, buckets=(32,))
+    exact = CheckpointReencoder(str(cfg_path), ckpt, buckets=(32,),
+                                poly_mixers=False)
+    assert default._gen.poly_mixers == "decode"
+    assert exact._gen.poly_mixers is False
+
+    spec = rng.standard_normal((2, 32, MEL)).astype(np.float32)
+    toks_d, out_d = default.reencode(spec)
+    toks_e, out_e = exact.reencode(spec)
+    np.testing.assert_array_equal(toks_d, toks_e)  # the parity gate
+    # decode carries interpolation-level deviation only (not identical,
+    # not large): bound relative to the exact output's range
+    dev = np.abs(out_d - out_e).max() / (np.abs(out_e).max() + 1e-9)
+    assert dev < 0.05, dev
+
+    sp = CheckpointReencoder(str(cfg_path), ckpt, buckets=(32,),
+                             seq_parallel=True)
+    assert sp._gen.poly_mixers is False
