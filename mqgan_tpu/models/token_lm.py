@@ -46,6 +46,8 @@ def build_token_lm(args: dict, *, dropout: float = 0.0, dtype: Any = None,
             pad_id=args["pad_id"], dropout=dropout,
             remat=(not for_inference) and bool(args.get("remat_lm", False)),
             flash=(not for_inference) and bool(args.get("flash_lm", False)),
+            flash_blocks=(None if for_inference or not args.get("flash_blocks")
+                          else tuple(args["flash_blocks"])),
             dtype=dtype,
         )
     if arch == "lstm":

@@ -80,6 +80,12 @@ class CausalSelfAttention(nn.Module):
     # Pallas TPU flash-attention kernel; prefill/step decode paths are
     # unchanged (their cost is cache-bound, not scores-bound)
     flash: bool = False
+    # (block_q, block_k) VMEM tile override for the flash kernel; None =
+    # the jax defaults (block 512/1024-class). The defaults LOSE to naive
+    # XLA at L=2048 (benchmarks/results_r4_longlm.json) — the round-5
+    # sweep (results_r5_flash_sweep.json) measures whether any tiling
+    # recovers it
+    flash_blocks: Tuple[int, int] | None = None
     dtype: Any = None
 
     def setup(self):
@@ -127,7 +133,7 @@ class CausalSelfAttention(nn.Module):
         included. T pads up to the kernel's 128 grid (zero-padded keys
         sit AFTER every real key, so causal queries never see them)."""
         from jax.experimental.pallas.ops.tpu.flash_attention import (
-            flash_attention)
+            BlockSizes, flash_attention)
 
         b, t, h, d = q.shape
         tp = -(-t // 128) * 128
@@ -137,7 +143,17 @@ class CausalSelfAttention(nn.Module):
         if tp != t:
             pad = ((0, 0), (0, 0), (0, tp - t), (0, 0))
             qt, kt, vt = (jnp.pad(x, pad) for x in (qt, kt, vt))
-        out = flash_attention(qt, kt, vt, causal=True, sm_scale=d ** -0.5)
+        block_sizes = None
+        if self.flash_blocks is not None:
+            bq = min(int(self.flash_blocks[0]), tp)
+            bk = min(int(self.flash_blocks[1]), tp)
+            block_sizes = BlockSizes(
+                block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                block_q_major_dkv=bq, block_k_major_dkv=bk,
+                block_k_dkv=bk, block_q_dkv=bq,
+                block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq)
+        out = flash_attention(qt, kt, vt, causal=True, sm_scale=d ** -0.5,
+                              block_sizes=block_sizes)
         out = jnp.transpose(out[:, :, :t], (0, 2, 1, 3))  # (B, T, H, D)
         return self.wo(out.reshape(b, t, h * d).astype(q.dtype))
 
@@ -222,12 +238,14 @@ class TransformerBlock(nn.Module):
     mlp_dim: int
     dropout: float
     flash: bool = False
+    flash_blocks: Tuple[int, int] | None = None
     dtype: Any = None
 
     def setup(self):
         self.ln1 = nn.LayerNorm(dtype=self.dtype, name="ln1")
         self.attn = CausalSelfAttention(self.features, self.n_heads,
                                         flash=self.flash,
+                                        flash_blocks=self.flash_blocks,
                                         dtype=self.dtype, name="attn")
         self.ln2 = nn.LayerNorm(dtype=self.dtype, name="ln2")
         self.fc1 = nn.Dense(self.mlp_dim, dtype=self.dtype, name="fc1")
@@ -282,6 +300,9 @@ class MusicTransformer(nn.Module):
     # Pallas TPU flash attention for the training forward (see
     # CausalSelfAttention.flash); TPU-only — leave False on CPU
     flash: bool = False
+    # flash kernel (block_q, block_k) VMEM tiling override (see
+    # CausalSelfAttention.flash_blocks)
+    flash_blocks: Tuple[int, int] | None = None
     dtype: Any = None
 
     def setup(self):
@@ -294,7 +315,8 @@ class MusicTransformer(nn.Module):
         self.blocks = [
             blk_cls(self.emb_dim, self.n_heads,
                     self.mlp_ratio * self.emb_dim, self.dropout,
-                    flash=self.flash, dtype=self.dtype, name=f"block_{i}")
+                    flash=self.flash, flash_blocks=self.flash_blocks,
+                    dtype=self.dtype, name=f"block_{i}")
             for i in range(self.n_layers)
         ]
         self.ln_f = nn.LayerNorm(dtype=self.dtype, name="ln_f")

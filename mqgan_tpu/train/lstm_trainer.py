@@ -200,6 +200,12 @@ def main(argv=None):
                    help="Pallas TPU flash attention for the transformer "
                         "training forward (--arch transformer, TPU only):"
                         " O(L) attention memory, the long-context path")
+    p.add_argument("--flash_blocks", type=int, nargs=2, default=None,
+                   metavar=("Q", "K"),
+                   help="flash-attention (block_q, block_k) VMEM tiling "
+                        "override (with --flash_lm; default: jax's "
+                        "built-in sizes — see "
+                        "benchmarks/results_r5_flash_sweep.json)")
     p.add_argument("--remat_lm", action="store_true",
                    help="per-block rematerialization (--arch transformer):"
                         " long-context training memory relief — the "
@@ -243,6 +249,26 @@ def main(argv=None):
     val_size = max(1, int(args.val_split * len(ds)))
     val_idx, train_idx = perm[:val_size].tolist(), perm[val_size:].tolist()
     print(f"Split: {len(train_idx)} train / {len(val_idx)} val")
+
+    if args.flash_lm and args.arch == "transformer":
+        # measured crossover: flash attention (any swept VMEM tiling,
+        # benchmarks/results_r5_flash_sweep.json; jax defaults in
+        # results_r4_longlm.json) only beats naive XLA attention from
+        # L~4096 at small batch — below that the tiled online-softmax
+        # loses to XLA's fused scores path. Warn when this run's data
+        # cannot reach that regime (flash still trains correctly — the
+        # win is memory, O(L) vs O(L^2), not speed).
+        crossover = 4096
+        longest = 1 + max(
+            np.load(path, mmap_mode="r").shape[0]
+            for path, _ in ds.items)
+        if longest < crossover:
+            print(f"WARNING: --flash_lm engaged but the longest training "
+                  f"sequence is {longest} tokens — below the measured "
+                  f"L~{crossover} speed crossover vs naive XLA attention "
+                  f"(results_r5_flash_sweep.json). Expect a slower step; "
+                  f"keep the flag only if attention memory is the "
+                  f"constraint.")
 
     from mqgan_tpu.models.token_lm import build_token_lm
 

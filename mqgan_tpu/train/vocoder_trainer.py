@@ -30,6 +30,11 @@ import optax
 from mqgan_tpu.core.config import SpecConfig
 from mqgan_tpu.losses.stft_loss import multi_resolution_stft_loss
 from mqgan_tpu.models.istft_vocoder import ISTFTNetGenerator
+from mqgan_tpu.models.wave_discriminators import (
+    adversarial_d_loss,
+    adversarial_g_loss,
+    feature_matching_loss,
+)
 from mqgan_tpu.signal.audio import load_audio, resample, to_mono
 from mqgan_tpu.signal.mel import MelFrontend
 from mqgan_tpu.signal.stft import istft
@@ -79,6 +84,76 @@ class SegmentSampler:
         # trim to exactly segment_frames (center-padded stft gives +1)
         mel = mel[:, : self.segment_frames]
         return jnp.asarray(np.transpose(mel, (0, 2, 1))), jnp.asarray(segs)
+
+
+def make_adv_step(gen, mpd, msd, tx, d_tx, *, n_fft, istft_hop, target_len,
+                  stft_lambda=45.0, adv_lambda=1.0, fm_lambda=2.0):
+    """The full adversarial step (D update, then G update incl. FM) as a
+    pure function (p, o, dp, do, mel, wav) -> (p, o, dp, do, metrics) —
+    module-level so benchmarks/probe_vocoder_adv.py chain-measures the
+    REAL step (VERDICT r4 #3) and the CLI jits the same code."""
+
+    def synth(p, mel):
+        spec, phase = gen.apply(p, mel)
+        return istft(spec, phase, n_fft, istft_hop, n_fft)[:, 0, :]
+
+    def adv_step_fn(p, o, dp, do, mel, wav):
+        # crop both to the common static length (the iSTFT output is a
+        # few samples shorter than segment_frames * hop)
+        n_common = min(
+            n_fft + istft_hop * (mel.shape[2] * gen.total_upsample - 1)
+            - 2 * (n_fft // 2),
+            target_len,
+        )
+        wav = wav[:, :n_common]
+        fake = jax.lax.stop_gradient(synth(p, mel))[:, :n_common]
+
+        # D update
+        def d_loss_fn(dp):
+            ro, _ = mpd.apply({"params": dp["mpd"]}, wav)
+            fo, _ = mpd.apply({"params": dp["mpd"]}, fake)
+            ro2, _ = msd.apply({"params": dp["msd"]}, wav)
+            fo2, _ = msd.apply({"params": dp["msd"]}, fake)
+            return adversarial_d_loss([ro, ro2], [fo, fo2])
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(dp)
+        d_ok = jnp.isfinite(d_loss)
+        d_grads = jax.tree.map(
+            lambda g: jnp.where(d_ok, g, jnp.zeros_like(g)), d_grads)
+        d_upd, do2 = d_tx.update(d_grads, do, dp)
+        dp2 = optax.apply_updates(dp, d_upd)
+        d_keep = lambda new, old: jnp.where(d_ok, new, old)
+        dp2 = jax.tree.map(d_keep, dp2, dp)
+        do2 = jax.tree.map(d_keep, do2, do)
+
+        # G update vs updated D
+        def g_loss_fn(p):
+            pred = synth(p, mel)[:, :n_common]
+            _, rf = mpd.apply({"params": dp2["mpd"]}, wav)
+            _, rf2 = msd.apply({"params": dp2["msd"]}, wav)
+            fo, ff = mpd.apply({"params": dp2["mpd"]}, pred)
+            fo2, ff2 = msd.apply({"params": dp2["msd"]}, pred)
+            stft_l = multi_resolution_stft_loss(pred, wav)
+            g_adv = adversarial_g_loss([fo, fo2])
+            fm = feature_matching_loss([*rf, *rf2], [*ff, *ff2])
+            total = (stft_lambda * stft_l + adv_lambda * g_adv
+                     + fm_lambda * fm)
+            return total, (stft_l, g_adv, fm)
+
+        (g_total, (stft_l, g_adv, fm)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(p)
+        ok = jnp.isfinite(g_total)
+        g_grads = jax.tree.map(
+            lambda g: jnp.where(ok, g, jnp.zeros_like(g)), g_grads)
+        upd, o2 = tx.update(g_grads, o, p)
+        p2 = optax.apply_updates(p, upd)
+        keep = lambda new, old: jnp.where(ok, new, old)
+        return (jax.tree.map(keep, p2, p), jax.tree.map(keep, o2, o),
+                dp2, do2,
+                {"g_total": g_total, "stft": stft_l, "adv": g_adv,
+                 "fm": fm, "d_loss": d_loss})
+
+    return adv_step_fn
 
 
 def main(argv=None):
@@ -185,9 +260,6 @@ def main(argv=None):
         from mqgan_tpu.models.wave_discriminators import (
             MultiPeriodDiscriminator,
             MultiScaleDiscriminator,
-            adversarial_d_loss,
-            adversarial_g_loss,
-            feature_matching_loss,
         )
 
         mpd = MultiPeriodDiscriminator(periods=tuple(args.mpd_periods))
@@ -200,68 +272,10 @@ def main(argv=None):
         d_tx = optax.adamw(args.d_lr)
         d_opt = d_tx.init(d_params)
 
-        def synth(p, mel):
-            spec, phase = gen.apply(p, mel)
-            return istft(spec, phase, n_fft, istft_hop, n_fft)[:, 0, :]
-
-        @jax.jit
-        def adv_step_fn(p, o, dp, do, mel, wav):
-            # crop both to the common static length (the iSTFT output is a
-            # few samples shorter than segment_frames * hop)
-            n_common = min(
-                n_fft + istft_hop * (mel.shape[2] * gen.total_upsample - 1)
-                - 2 * (n_fft // 2),
-                target_len,
-            )
-            wav = wav[:, :n_common]
-            fake = jax.lax.stop_gradient(synth(p, mel))[:, :n_common]
-
-            # D update
-            def d_loss_fn(dp):
-                ro, _ = mpd.apply({"params": dp["mpd"]}, wav)
-                fo, _ = mpd.apply({"params": dp["mpd"]}, fake)
-                ro2, _ = msd.apply({"params": dp["msd"]}, wav)
-                fo2, _ = msd.apply({"params": dp["msd"]}, fake)
-                return adversarial_d_loss([ro, ro2], [fo, fo2])
-
-            d_loss, d_grads = jax.value_and_grad(d_loss_fn)(dp)
-            d_ok = jnp.isfinite(d_loss)
-            d_grads = jax.tree.map(
-                lambda g: jnp.where(d_ok, g, jnp.zeros_like(g)), d_grads)
-            d_upd, do2 = d_tx.update(d_grads, do, dp)
-            dp2 = optax.apply_updates(dp, d_upd)
-            d_keep = lambda new, old: jnp.where(d_ok, new, old)
-            dp2 = jax.tree.map(d_keep, dp2, dp)
-            do2 = jax.tree.map(d_keep, do2, do)
-
-            # G update vs updated D
-            def g_loss_fn(p):
-                pred = synth(p, mel)[:, :n_common]
-                _, rf = mpd.apply({"params": dp2["mpd"]}, wav)
-                _, rf2 = msd.apply({"params": dp2["msd"]}, wav)
-                fo, ff = mpd.apply({"params": dp2["mpd"]}, pred)
-                fo2, ff2 = msd.apply({"params": dp2["msd"]}, pred)
-                stft_l = multi_resolution_stft_loss(pred, wav)
-                g_adv = adversarial_g_loss([fo, fo2])
-                fm = feature_matching_loss([*rf, *rf2], [*ff, *ff2])
-                total = (args.stft_lambda * stft_l + args.adv_lambda * g_adv
-                         + args.fm_lambda * fm)
-                return total, (stft_l, g_adv, fm)
-
-            (g_total, (stft_l, g_adv, fm)), g_grads = jax.value_and_grad(
-                g_loss_fn, has_aux=True)(p)
-            ok = jnp.isfinite(g_total)
-            g_grads = jax.tree.map(
-                lambda g: jnp.where(ok, g, jnp.zeros_like(g)), g_grads)
-            upd, o2 = tx.update(g_grads, o, p)
-            p2 = optax.apply_updates(p, upd)
-            keep = lambda new, old: jnp.where(ok, new, old)
-            return (jax.tree.map(keep, p2, p), jax.tree.map(keep, o2, o),
-                    dp2, do2,
-                    {"g_total": g_total, "stft": stft_l, "adv": g_adv,
-                     "fm": fm, "d_loss": d_loss})
-
-        adv_step = adv_step_fn
+        adv_step = jax.jit(make_adv_step(
+            gen, mpd, msd, tx, d_tx, n_fft=n_fft, istft_hop=istft_hop,
+            target_len=target_len, stft_lambda=args.stft_lambda,
+            adv_lambda=args.adv_lambda, fm_lambda=args.fm_lambda))
 
     t0 = time.time()
     for i in range(1, args.steps + 1):
