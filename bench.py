@@ -52,14 +52,29 @@ def main():
 
     params = jax.jit(gen.init)(jax.random.key(0), mels[0], lengths)
 
+    # encode and decode as TWO dispatches with the tokens staying
+    # device-resident (no host round-trip): with the poly post mixer in
+    # one fused program, XLA materializes the encode pre-mixer's
+    # (B, T, C, features) hidden — 16G, an OOM at this shape — while the
+    # separate programs compile at <=3.4G. This mirrors how poly exports
+    # deploy (deploy/export.py skips the fused program; the runtime
+    # chains encode->decode). Dispatches are async, so the extra
+    # dispatch overlaps device compute.
     @jax.jit
-    def reencode(params, mel, lengths):
+    def encode(params, mel, lengths):
         pad = sequence_mask(mel.shape[1], lengths)
-        idx = gen.apply(params, mel, pad, method=PreEncoder.encode)
+        return gen.apply(params, mel, pad, method=PreEncoder.encode), pad
+
+    @jax.jit
+    def decode(params, idx, pad):
         out = gen.apply(params, idx, pad, method=PreEncoder.decode)
         # tiny scalar summary: forcing it to host guarantees execution even
         # on lazy/tunneled backends where block_until_ready is a no-op
         return idx, out, jnp.sum(out)
+
+    def reencode(params, mel, lengths):
+        idx, pad = encode(params, mel, lengths)
+        return decode(params, idx, pad)
 
     # warmup / compile (inputs disjoint from the timed set)
     for i in range(WARMUP):

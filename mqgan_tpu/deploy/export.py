@@ -115,21 +115,29 @@ def export_preencoder(
             jax.ShapeDtypeStruct((b, t), jnp.int32),
             jax.ShapeDtypeStruct((b, t), jnp.bool_),
         )
-        ree = jexport.export(jax.jit(reencode_fn), platforms=platforms)(
-            jax.ShapeDtypeStruct((b, t, mel_ch), jnp.float32),
-            jax.ShapeDtypeStruct((b, t), jnp.bool_),
-        )
         enc_name, dec_name = f"encode_T{t}.shlo", f"decode_T{t}.shlo"
-        ree_name = f"reencode_T{t}.shlo"
         with open(os.path.join(out_dir, enc_name), "wb") as f:
             f.write(enc.serialize())
         with open(os.path.join(out_dir, dec_name), "wb") as f:
             f.write(dec.serialize())
-        with open(os.path.join(out_dir, ree_name), "wb") as f:
-            f.write(ree.serialize())
-        manifest["files"][str(t)] = {
-            "encode": enc_name, "decode": dec_name, "reencode": ree_name,
-        }
+        manifest["files"][str(t)] = {"encode": enc_name, "decode": dec_name}
+        if not gen.poly_mixers:
+            # the fused single-program roundtrip saves one dispatch, but
+            # with the poly post mixer in the SAME program XLA stops
+            # fusing the ENCODE pre-mixer's pointwise-conv hidden and
+            # materializes the full (B, T, C, features) buffer — 16G at
+            # flagship B=64 T=512, an OOM, while the separate encode /
+            # decode programs compile at <=3.4G (measured round 5).
+            # Poly exports therefore ship encode+decode only; the runtime
+            # chains them (ExportedPreEncoder.reencode falls back).
+            ree = jexport.export(jax.jit(reencode_fn), platforms=platforms)(
+                jax.ShapeDtypeStruct((b, t, mel_ch), jnp.float32),
+                jax.ShapeDtypeStruct((b, t), jnp.bool_),
+            )
+            ree_name = f"reencode_T{t}.shlo"
+            with open(os.path.join(out_dir, ree_name), "wb") as f:
+                f.write(ree.serialize())
+            manifest["files"][str(t)]["reencode"] = ree_name
 
     if config_dict is not None:
         with open(os.path.join(out_dir, "model_config.json"), "w") as f:

@@ -886,12 +886,15 @@ def main(argv=None):
                     config.model.generator, remat_refiner=True))
         )
 
-    # fast-dropout is the CLI default since round 4 (1000-step flagship
-    # convergence A/B tracks exact: convergence_ab_flagship.json 1.769 vs
-    # 1.754 final recon; step cost 698 vs 776 ms = 47.0% vs 42.3% MFU,
-    # results_r3_fastdrop.json). --exact_dropout restores the reference's
-    # Bernoulli draws; the YAML-level GeneratorConfig default stays False
-    # (library users opt in explicitly).
+    # fast-dropout is the CLI default since round 4, re-validated round 5
+    # in a HEALTHY-codebook regime (the r4 A/B had collapsed to one code):
+    # 1000-step flagship A/B at fsq_noise_dropout 0.5 tracks exact
+    # bit-for-par (0.6149 vs 0.6149 final recon, usage 46-47% both arms,
+    # convergence_ab_flagship_healthy.json; step cost 698 vs 776 ms =
+    # 47.0% vs 42.3% MFU, results_r3_fastdrop.json). --exact_dropout
+    # restores the reference's Bernoulli draws; the YAML-level
+    # GeneratorConfig default stays False (library users opt in
+    # explicitly).
     if not args.exact_dropout:
         config = dataclasses.replace(
             config, model=dataclasses.replace(
