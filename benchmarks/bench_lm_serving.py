@@ -89,7 +89,8 @@ def bench_exported_generation(arch, b, gen_len, iters):
     return row, out
 
 
-def bench_concurrent_http(lm_export_dir, clients, length, iters):
+def bench_concurrent_http(lm_export_dir, clients, length, iters,
+                          arch="transformer"):
     import io
     import urllib.request
     from concurrent.futures import ThreadPoolExecutor
@@ -135,7 +136,7 @@ def bench_concurrent_http(lm_export_dir, clients, length, iters):
         assert stats["cold_requests"] == 0, stats
         assert stats["p95_warm_latency_ms"] < 20_000, stats
         rows.append({
-            "config": f"r5_http_lm_{tag}",
+            "config": f"r5_http_lm_{arch}_{tag}",
             "clients": clients, "length": length, "iters": iters,
             "prewarmed_shapes": n_warm,
             "prewarm_s": round(warm_s, 1),
@@ -145,7 +146,7 @@ def bench_concurrent_http(lm_export_dir, clients, length, iters):
         })
         print(rows[-1], flush=True)
     rows.append({
-        "config": "r5_http_lm_speedup",
+        "config": f"r5_http_lm_{arch}_speedup",
         "speedup": round(rows[1]["wall_s_per_round"]
                          / rows[0]["wall_s_per_round"], 2),
     })
@@ -174,14 +175,16 @@ def main(argv=None):
     # serving buckets: re-export the transformer with the serve length
     from mqgan_tpu.deploy.export_lm import export_music_lm
 
-    model, params, margs = _flagship_lm("transformer")
-    serve_dir = tempfile.mkdtemp(prefix="lm_export_serve_")
-    export_music_lm(model, params, serve_dir,
-                    gen_buckets=(args.serve_len,), prompt_buckets=(1,),
-                    score_buckets=(args.serve_len,), bos_id=1,
-                    lm_args=margs, verify=False)
-    rows.extend(bench_concurrent_http(serve_dir, args.clients,
-                                      args.serve_len, args.iters))
+    for arch in ("transformer", "lstm"):
+        model, params, margs = _flagship_lm(arch)
+        serve_dir = tempfile.mkdtemp(prefix=f"lm_export_serve_{arch}_")
+        export_music_lm(model, params, serve_dir,
+                        gen_buckets=(args.serve_len,), prompt_buckets=(1,),
+                        score_buckets=(args.serve_len,), bos_id=1,
+                        lm_args=margs, verify=False)
+        rows.extend(bench_concurrent_http(serve_dir, args.clients,
+                                          args.serve_len, args.iters,
+                                          arch=arch))
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=1)
         f.write("\n")

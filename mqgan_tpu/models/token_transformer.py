@@ -80,11 +80,13 @@ class CausalSelfAttention(nn.Module):
     # Pallas TPU flash-attention kernel; prefill/step decode paths are
     # unchanged (their cost is cache-bound, not scores-bound)
     flash: bool = False
-    # (block_q, block_k) VMEM tile override for the flash kernel; None =
-    # the jax defaults (block 512/1024-class). The defaults LOSE to naive
-    # XLA at L=2048 (benchmarks/results_r4_longlm.json) — the round-5
-    # sweep (results_r5_flash_sweep.json) measures whether any tiling
-    # recovers it
+    # (block_q, block_k) VMEM tile for the flash kernel. None = OUR
+    # measured default (1024, 1024), clamped to the sequence: the jax
+    # library defaults (~128-class) LOSE 2.6x to these tiles AND to
+    # naive XLA at L=2048 — the round-5 sweep
+    # (results_r5_flash_sweep.json) shows q1024/k1024 beating naive
+    # 1.49x at L=2048 B=8 and 3.44x at L=4096 B=4 (the r4 "flash loses
+    # below L=4096" was entirely the library tiling)
     flash_blocks: Tuple[int, int] | None = None
     dtype: Any = None
 
@@ -143,15 +145,14 @@ class CausalSelfAttention(nn.Module):
         if tp != t:
             pad = ((0, 0), (0, 0), (0, tp - t), (0, 0))
             qt, kt, vt = (jnp.pad(x, pad) for x in (qt, kt, vt))
-        block_sizes = None
-        if self.flash_blocks is not None:
-            bq = min(int(self.flash_blocks[0]), tp)
-            bk = min(int(self.flash_blocks[1]), tp)
-            block_sizes = BlockSizes(
-                block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
-                block_q_major_dkv=bq, block_k_major_dkv=bk,
-                block_k_dkv=bk, block_q_dkv=bq,
-                block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq)
+        blocks = self.flash_blocks or (1024, 1024)
+        bq = min(int(blocks[0]), tp)
+        bk = min(int(blocks[1]), tp)
+        block_sizes = BlockSizes(
+            block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+            block_q_major_dkv=bq, block_k_major_dkv=bk,
+            block_k_dkv=bk, block_q_dkv=bq,
+            block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq)
         out = flash_attention(qt, kt, vt, causal=True, sm_scale=d ** -0.5,
                               block_sizes=block_sizes)
         out = jnp.transpose(out[:, :, :t], (0, 2, 1, 3))  # (B, T, H, D)
