@@ -227,7 +227,7 @@ class LMHTTPService:
                  *, length_grid: int = 128, max_length: int = 8192,
                  lm_export: Optional[str] = None,
                  prompt_grid: int = 16, max_batch: int = MAX_SAMPLES,
-                 max_delay_ms: float = 3.0):
+                 max_delay_ms: float = 3.0, kv_bf16: bool = False):
         """Serve from a training run dir (checkpoint + flax model) OR
         from an AOT-exported artifact dir (deploy/export_lm.py) — the
         latter needs no checkpoint or model code on the serving host.
@@ -256,6 +256,16 @@ class LMHTTPService:
                 lm_run)
             self.arch = lm_arch(self.model)
             self._sampler = served_sampler(self.model)
+            if kv_bf16 and self.arch == "transformer":
+                # bf16 KV cache: 1.71x decode (3.05 -> 1.79 ms/token at
+                # B=64 L=512, results_r5_kv_decode.json); streams are
+                # self-consistent per dtype (per-row solo-exact within
+                # bf16) but differ from fp32-cache streams by rounding
+                import jax.numpy as jnp
+                from functools import partial
+
+                self._sampler = partial(self._sampler,
+                                        kv_dtype=jnp.bfloat16)
             self._jitted = {}  # max_len -> jitted served sampler
         a = self.lm_args
         self.codec = None
@@ -583,6 +593,12 @@ def main(argv=None):
                    help="max coalesced rows per generation dispatch")
     p.add_argument("--max_delay_ms", type=float, default=3.0,
                    help="linger before dispatching a short batch")
+    p.add_argument("--kv_bf16", action="store_true",
+                   help="run-dir transformer backend: bf16 KV cache "
+                        "(1.71x decode, results_r5_kv_decode.json); "
+                        "streams self-consistent but not bit-equal to "
+                        "fp32-cache runs. Exported backends bake the "
+                        "cache dtype at export time (--kv_bf16 there)")
     p.add_argument("--no_prewarm", action="store_true",
                    help="skip compiling the dispatch-shape grid (pow2 "
                         "widths x generation/prompt buckets) before "
@@ -600,7 +616,8 @@ def main(argv=None):
                             max_length=args.max_length,
                             lm_export=args.lm_export,
                             max_batch=args.max_batch,
-                            max_delay_ms=args.max_delay_ms)
+                            max_delay_ms=args.max_delay_ms,
+                            kv_bf16=args.kv_bf16)
     if not args.no_prewarm:
         t0 = time.monotonic()
         n = service.warmup(lengths=args.prewarm_lengths, verbose=True)

@@ -352,3 +352,30 @@ def test_prewarm_and_warm_cold_latency_split(lm_run):
         assert st["p95_warm_latency_ms"] > 0
     finally:
         svc2.close()
+
+
+def test_kv_bf16_service_self_consistent(transformer_run):
+    """kv_bf16=True run-dir serving: generated tokens equal the
+    in-process bf16-cache sampler (self-consistency within the dtype —
+    the bf16-KV serving contract, results_r5_kv_decode.json 1.71x)."""
+    import jax.numpy as jnp
+
+    from mqgan_tpu.deploy.http_lm import LMHTTPService
+    from mqgan_tpu.models.lm_sampling import generate_tokens_transformer
+
+    run, model, params = transformer_run
+    svc = LMHTTPService(run, None, length_grid=32, max_length=64,
+                        kv_bf16=True)
+    try:
+        body, _ = svc.generate({"genre": 2, "length": 14, "seed": 11,
+                                "top_k": 8})
+        import io
+
+        out = np.load(io.BytesIO(body), allow_pickle=False)
+    finally:
+        svc.close()
+    ref = generate_tokens_transformer(
+        model, params, jnp.asarray([2], jnp.int32), jax.random.key(11),
+        max_len=32, top_k=8, bos_id=1, forbidden_tokens=svc.forbidden,
+        kv_dtype=jnp.bfloat16)
+    np.testing.assert_array_equal(out[0], np.asarray(ref)[0, :14])
