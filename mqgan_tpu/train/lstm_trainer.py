@@ -251,14 +251,13 @@ def main(argv=None):
     print(f"Split: {len(train_idx)} train / {len(val_idx)} val")
 
     if args.flash_lm and args.arch == "transformer":
-        # measured crossover: flash attention (any swept VMEM tiling,
-        # benchmarks/results_r5_flash_sweep.json; jax defaults in
-        # results_r4_longlm.json) only beats naive XLA attention from
-        # L~4096 at small batch — below that the tiled online-softmax
-        # loses to XLA's fused scores path. Warn when this run's data
-        # cannot reach that regime (flash still trains correctly — the
-        # win is memory, O(L) vs O(L^2), not speed).
-        crossover = 4096
+        # measured crossover with the tuned (1024,1024) tiling
+        # (results_r5_flash_sweep.json / results_r5_flash_short.json):
+        # flash loses 1.28x at L=512, is neutral at L=1024, and WINS
+        # 1.49x at L=2048 / 3.44x at L=4096. Warn when this run's data
+        # never reaches the neutral point (flash still trains correctly
+        # — the win below L=1024 is memory, O(L) vs O(L^2), not speed).
+        crossover = 1024
         longest = 1 + max(
             np.load(path, mmap_mode="r").shape[0]
             for path, _ in ds.items)

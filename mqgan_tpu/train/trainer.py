@@ -584,7 +584,16 @@ class Trainer:
             self._eval_step = make_eval_step(cfg, self.dtype)
         from mqgan_tpu.utils.plotting import save_triptych
 
-        n = min(num_examples or cfg.logging.num_plot_examples, len(self.eval_dataset))
+        # eval METRICS are decoupled from plotting (round 5): with
+        # num_plot_examples 0 the metrics still run over the (sampled)
+        # eval set — previously `0` silently disabled eval AND
+        # --keep_best, a footgun the showcase drive hit. Plots are
+        # emitted only for the first num_plot_examples clips.
+        if num_examples is not None:  # explicit caller count wins exactly
+            n_plot = n = min(num_examples, len(self.eval_dataset))
+        else:
+            n_plot = cfg.logging.num_plot_examples
+            n = min(max(n_plot, 16), len(self.eval_dataset))
         rng = np.random.default_rng(epoch)
         idxs = rng.choice(len(self.eval_dataset), size=n, replace=False) if n else []
         metrics_acc = []
@@ -595,6 +604,8 @@ class Trainer:
                 continue
             pre, post, m = self._eval_clip(mel, gen_params)
             metrics_acc.append(m)
+            if i >= n_plot:
+                continue
             try:
                 png = save_triptych(
                     cfg.data.output_dir, f"epoch_{epoch:03d}_eval_{i + 1}",

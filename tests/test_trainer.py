@@ -570,3 +570,25 @@ def test_contradictory_dropout_flags_error(tmp_path, capsys):
         trainer_main(["--fast_dropout", "--exact_dropout", "--no_wandb"])
     assert ei.value.code == 2  # argparse error exit
     assert "opposite" in capsys.readouterr().err
+
+
+@pytest.mark.slow
+def test_eval_metrics_run_without_plots(tmp_path):
+    """num_plot_examples=0 must still produce eval metrics (and thus feed
+    --keep_best) — previously 0 silently disabled eval entirely."""
+    data_dir = make_dataset(tmp_path)
+    cfg = trainer_config(data_dir, str(tmp_path / "out"))
+    cfg = dataclasses.replace(cfg, logging=dataclasses.replace(
+        cfg.logging, num_plot_examples=0))
+    from mqgan_tpu.train.trainer import Trainer
+
+    t = Trainer(cfg, use_wandb=False, dtype=jnp.float32)
+    try:
+        t.train_epoch(1)
+        ev = t.evaluate(1)
+        assert "eval_recon_post_mse" in ev and np.isfinite(
+            ev["eval_recon_post_mse"])
+        # no plot files were written
+        assert not list((tmp_path / "out").glob("*eval*.png"))
+    finally:
+        t.logger.close()
