@@ -237,6 +237,10 @@ class CodecHTTPServer:
                  port: int = 0):
         self.service = service
         handler = type("_BoundHandler", (_Handler,), {"service": service})
+        # stdlib default listen backlog is 5: a burst of concurrent
+        # clients beyond it gets TCP connection-reset before accept()
+        # (hit at 32 clients in the round-5 serving bench) — widen it
+        ThreadingHTTPServer.request_queue_size = 128
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._httpd.daemon_threads = True
         self._thread = None

@@ -225,6 +225,10 @@ class StreamingHTTPServer(CodecHTTPServer):
         self.service = service
         handler = type("_BoundStreamingHandler", (StreamingHandler,),
                        {"service": service})
+        # stdlib default listen backlog is 5: a burst of concurrent
+        # clients beyond it gets TCP connection-reset before accept()
+        # (hit at 32 clients in the round-5 serving bench) — widen it
+        ThreadingHTTPServer.request_queue_size = 128
         self._httpd = ThreadingHTTPServer((host, port), handler)
         self._httpd.daemon_threads = True
         self._thread = None
