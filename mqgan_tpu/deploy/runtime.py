@@ -233,6 +233,15 @@ class ExportedPreEncoder:
         if tb in self._ree:
             idx, out = self._call(self._ree[tb], spec, pad_mask)
             return idx[:, :t], out[:, :t]
+        if len(self._devices) == 1:
+            # chain the two programs with the tokens DEVICE-RESIDENT:
+            # np.asarray between them would force a host round-trip
+            # (a full tunnel sync on remote backends) per batch. This is
+            # the poly-export serving path (no fused program; measured
+            # timing-neutral vs fused on the exact path, round 5).
+            idx = self._enc[tb].call(spec, pad_mask)
+            out = self._dec[tb].call(idx, pad_mask)
+            return np.asarray(idx)[:, :t], np.asarray(out)[:, :t]
         idx = self._call(self._enc[tb], spec, pad_mask)
         out = self._call(self._dec[tb], idx, pad_mask)
         return idx[:, :t], out[:, :t]
